@@ -1,0 +1,277 @@
+"""Multi-view geometry as vectorized JAX ops.
+
+Replaces pyba's NumPy/OpenCV camera model (used via reference
+df3d/core.py:120-126, 246-250, 355-356) with closed-form, vmappable math:
+
+* Rodrigues rotation (forward + inverse) — no cv2.Rodrigues (SURVEY §2.3 N6)
+* pinhole projection with OpenCV 5-coefficient distortion
+* masked DLT triangulation over all (frame, joint) pairs in one vmap
+* reprojection error
+
+Conventions (reverse-engineered from the golden artifacts, see SURVEY §8 and
+the round-1 parity experiments; verified to 4e-15 against
+tests/data/reference_df3d/df3d_result_3d.pkl):
+
+* stored ``points2d`` is normalized (row, col) in [0, 1]
+* the observation plane is pixel (x, y) = (col * W, row * H)
+* world→camera: ``Xc = R @ Xw + tvec``; projection u = fx*Xc0/Xc2 + cx (x),
+  v = fy*Xc1/Xc2 + cy (y)
+* a 2D point is *observed* iff row != 0 and col != 0 and col != 1 (zeros mean
+  "unseen", col == 1 is the reference's flip artifact, core.py:198-200)
+
+All functions are dtype-polymorphic; run under x64 for reference-parity
+(1e-5) and f32 on TPU for throughput.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ----------------------------------------------------------------- rotations
+
+
+def rodrigues(rvec: jnp.ndarray) -> jnp.ndarray:
+    """Axis-angle (3,) -> rotation matrix (3,3), safe at theta=0."""
+    theta = jnp.linalg.norm(rvec)
+    # Guard the 1/theta: at theta ~ 0 the sin/(1-cos) terms vanish anyway.
+    safe = jnp.where(theta < 1e-12, 1.0, theta)
+    k = rvec / safe
+    K = jnp.array(
+        [
+            [0.0, -k[2], k[1]],
+            [k[2], 0.0, -k[0]],
+            [-k[1], k[0], 0.0],
+        ],
+        dtype=rvec.dtype,
+    )
+    eye = jnp.eye(3, dtype=rvec.dtype)
+    R = eye + jnp.sin(theta) * K + (1.0 - jnp.cos(theta)) * (K @ K)
+    return jnp.where(theta < 1e-12, eye, R)
+
+
+def inv_rodrigues(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix (3,3) -> axis-angle (3,)."""
+    cos_t = jnp.clip((jnp.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    axis_raw = jnp.array(
+        [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]], dtype=R.dtype
+    )
+    sin_t = 0.5 * jnp.linalg.norm(axis_raw)
+    theta = jnp.arctan2(sin_t, cos_t)
+    # Generic case
+    generic = axis_raw / jnp.where(jnp.abs(sin_t) < 1e-12, 1.0, 2.0 * sin_t) * theta
+    # Near theta = pi the off-diagonal differences vanish; recover the axis
+    # from the diagonal of (R + I) / 2 = kk^T.
+    diag = jnp.clip((jnp.diagonal(R) + 1.0) / 2.0, 0.0, None)
+    axis_pi = jnp.sqrt(diag)
+    # choose signs from the largest off-diagonal products
+    signs = jnp.array(
+        [
+            1.0,
+            jnp.where(R[0, 1] + R[1, 0] >= 0, 1.0, -1.0),
+            jnp.where(R[0, 2] + R[2, 0] >= 0, 1.0, -1.0),
+        ],
+        dtype=R.dtype,
+    )
+    axis_pi = axis_pi * signs * theta
+    near_pi = jnp.abs(sin_t) < 1e-6
+    near_zero = theta < 1e-12
+    out = jnp.where(near_pi, axis_pi, generic)
+    return jnp.where(near_zero, jnp.zeros(3, dtype=R.dtype), out)
+
+
+# ---------------------------------------------------------------- projection
+
+
+def distort_points(xy: jnp.ndarray, dist: jnp.ndarray) -> jnp.ndarray:
+    """OpenCV 5-coefficient distortion on normalized coords (..., 2)."""
+    k1, k2, p1, p2, k3 = dist[0], dist[1], dist[2], dist[3], dist[4]
+    x, y = xy[..., 0], xy[..., 1]
+    r2 = x * x + y * y
+    radial = 1.0 + k1 * r2 + k2 * r2 * r2 + k3 * r2 * r2 * r2
+    x_t = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    y_t = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    return jnp.stack([x * radial + x_t, y * radial + y_t], axis=-1)
+
+
+def project(
+    points3d: jnp.ndarray,
+    R: jnp.ndarray,
+    tvec: jnp.ndarray,
+    intr: jnp.ndarray,
+    distort: jnp.ndarray,
+) -> jnp.ndarray:
+    """World points (..., 3) -> pixel (x, y) observations (..., 2)."""
+    Xc = points3d @ R.T + tvec
+    xy = Xc[..., :2] / Xc[..., 2:3]
+    xy = distort_points(xy, distort)
+    u = intr[0, 0] * xy[..., 0] + intr[0, 1] * xy[..., 1] + intr[0, 2]
+    v = intr[1, 1] * xy[..., 1] + intr[1, 2]
+    return jnp.stack([u, v], axis=-1)
+
+
+def project_normalized_rowcol(
+    points3d: jnp.ndarray,
+    R: jnp.ndarray,
+    tvec: jnp.ndarray,
+    intr: jnp.ndarray,
+    distort: jnp.ndarray,
+    image_shape: Tuple[int, int],
+) -> jnp.ndarray:
+    """Project to the stored (row, col) normalized convention."""
+    width, height = image_shape
+    xy = project(points3d, R, tvec, intr, distort)
+    return jnp.stack([xy[..., 1] / height, xy[..., 0] / width], axis=-1)
+
+
+# ---------------------------------------------------------------- visibility
+
+
+def observation_mask(points2d_rowcol: jnp.ndarray) -> jnp.ndarray:
+    """(..., 2) normalized (row, col) -> bool mask of real observations."""
+    row, col = points2d_rowcol[..., 0], points2d_rowcol[..., 1]
+    return (row != 0) & (col != 0) & (col != 1)
+
+
+def rowcol_to_pixel_xy(
+    points2d_rowcol: jnp.ndarray, image_shape: Tuple[int, int]
+) -> jnp.ndarray:
+    """Normalized (row, col) -> pixel (x, y)."""
+    width, height = image_shape
+    return jnp.stack(
+        [points2d_rowcol[..., 1] * width, points2d_rowcol[..., 0] * height], axis=-1
+    )
+
+
+# ------------------------------------------------------------- triangulation
+
+
+def projection_matrices(
+    R: jnp.ndarray, tvec: jnp.ndarray, intr: jnp.ndarray
+) -> jnp.ndarray:
+    """(C,3,3),(C,3),(C,3,3) -> (C,3,4) P = K [R | t]."""
+    Rt = jnp.concatenate([R, tvec[..., None]], axis=-1)
+    return intr @ Rt
+
+
+def _dlt_single(obs_xy: jnp.ndarray, P: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked homogeneous DLT for one 3D point.
+
+    obs_xy: (C, 2) pixel observations; P: (C, 3, 4); mask: (C,) bool.
+    Rows of invisible cameras are zeroed — they contribute nothing to A^T A,
+    so the result equals a DLT over only the visible cameras.
+    """
+    m = mask[:, None].astype(obs_xy.dtype)
+    rows_x = (obs_xy[:, 0:1] * P[:, 2, :] - P[:, 0, :]) * m
+    rows_y = (obs_xy[:, 1:2] * P[:, 2, :] - P[:, 1, :]) * m
+    A = jnp.concatenate([rows_x, rows_y], axis=0)  # (2C, 4) x-rows then y-rows
+    # smallest right-singular vector of A == null direction of A^T A
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    X = Vt[-1]
+    point = X[:3] / X[3]
+    valid = jnp.sum(mask) >= 2
+    return jnp.where(valid, point, jnp.zeros(3, dtype=obs_xy.dtype))
+
+
+def triangulate(
+    points2d_rowcol: jnp.ndarray,
+    R: jnp.ndarray,
+    tvec: jnp.ndarray,
+    intr: jnp.ndarray,
+    image_shape: Tuple[int, int],
+) -> jnp.ndarray:
+    """DLT-triangulate every (frame, joint).
+
+    points2d_rowcol: (C, T, J, 2) normalized (row, col).
+    Returns (T, J, 3) world points; zeros where fewer than two cameras see
+    the joint.  Equivalent of pyba's ``CameraNetwork.triangulate`` (called at
+    reference core.py:355-356); validated to 4e-15 against the golden pickle.
+    """
+    C, T, J, _ = points2d_rowcol.shape
+    P = projection_matrices(R, tvec, intr)  # (C, 3, 4)
+    obs = rowcol_to_pixel_xy(points2d_rowcol, image_shape)  # (C,T,J,2)
+    mask = observation_mask(points2d_rowcol)  # (C,T,J)
+
+    obs_flat = obs.reshape(C, T * J, 2).transpose(1, 0, 2)  # (TJ, C, 2)
+    mask_flat = mask.reshape(C, T * J).T  # (TJ, C)
+    pts = jax.vmap(_dlt_single, in_axes=(0, None, 0))(obs_flat, P, mask_flat)
+    return pts.reshape(T, J, 3)
+
+
+# --------------------------------------------------------------- reprojection
+
+
+def reprojection_residuals(
+    points3d: jnp.ndarray,
+    points2d_rowcol: jnp.ndarray,
+    R: jnp.ndarray,
+    tvec: jnp.ndarray,
+    intr: jnp.ndarray,
+    distort: jnp.ndarray,
+    image_shape: Tuple[int, int],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-observation pixel residuals.
+
+    Returns (res, mask): res (C, T, J, 2) = projected - observed in pixel
+    (x, y); mask (C, T, J) of real observations.
+    """
+    proj = jax.vmap(
+        lambda R_, t_, K_, d_: project(points3d, R_, t_, K_, d_)
+    )(R, tvec, intr, distort)  # (C, T, J, 2)
+    obs = rowcol_to_pixel_xy(points2d_rowcol, image_shape)
+    mask = observation_mask(points2d_rowcol)
+    res = (proj - obs) * mask[..., None].astype(proj.dtype)
+    return res, mask
+
+
+def reprojection_error(
+    points3d: jnp.ndarray,
+    points2d_rowcol: jnp.ndarray,
+    R: jnp.ndarray,
+    tvec: jnp.ndarray,
+    intr: jnp.ndarray,
+    distort: jnp.ndarray,
+    image_shape: Tuple[int, int],
+) -> jnp.ndarray:
+    """Mean L2 pixel reprojection error over visible observations."""
+    res, mask = reprojection_residuals(
+        points3d, points2d_rowcol, R, tvec, intr, distort, image_shape
+    )
+    norms = jnp.linalg.norm(res, axis=-1)
+    denom = jnp.maximum(jnp.sum(mask), 1)
+    return jnp.sum(norms) / denom
+
+
+# ------------------------------------------------------------------ packing
+
+
+def calib_to_arrays(calib: Dict[int, dict], num_cameras: int, dtype=np.float64):
+    """Dict-of-dicts calib -> stacked (C,3,3), (C,3), (C,3,3), (C,5) arrays."""
+    R = np.stack([np.asarray(calib[c]["R"], dtype=dtype) for c in range(num_cameras)])
+    tvec = np.stack(
+        [np.asarray(calib[c]["tvec"], dtype=dtype) for c in range(num_cameras)]
+    )
+    intr = np.stack(
+        [np.asarray(calib[c]["intr"], dtype=dtype) for c in range(num_cameras)]
+    )
+    distort = np.stack(
+        [np.asarray(calib[c]["distort"], dtype=dtype) for c in range(num_cameras)]
+    )
+    return R, tvec, intr, distort
+
+
+def arrays_to_calib(R, tvec, intr, distort) -> Dict[int, dict]:
+    num_cameras = np.asarray(R).shape[0]
+    return {
+        c: {
+            "R": np.asarray(R[c]),
+            "tvec": np.asarray(tvec[c]),
+            "distort": np.asarray(distort[c]),
+            "intr": np.asarray(intr[c]),
+        }
+        for c in range(num_cameras)
+    }
