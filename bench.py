@@ -1,0 +1,162 @@
+"""End-to-end TPU benchmark.
+
+Measures the headline metric from BASELINE.json: 7-camera frames/sec/chip
+for the full 2D+3D pipeline — uint8 camera frames -> on-device resize /
+normalize / flip -> stacked-hourglass heatmaps -> argmax decode -> 19->38
+assembly -> DLT triangulation — as ONE jitted XLA program (no host
+round-trips inside the loop).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the north-star target of 5,000 frames/s/chip
+(/root/repo/BASELINE.json; the reference publishes no numbers of its own —
+BASELINE.md).
+"""
+
+import os
+
+os.environ["DF3D_TPU_DISABLE_X64"] = "1"  # pure f32/bf16 on the TPU hot path
+
+import json
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepfly3d_tpu.models.hourglass import (
+    HourglassNet,
+    HourglassSpec,
+    load_weights,
+)
+from deepfly3d_tpu.ops import geometry
+
+NUM_CAMERAS = 7
+IMAGE_H, IMAGE_W = 480, 960
+INPUT_SHAPE = (256, 512)
+BASELINE_FPS = 5000.0
+WEIGHTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "weights", "hourglass_fly.npz")
+
+
+def build_pipeline(spec, variables, calib, camera_ordering, compute_dtype):
+    """One jitted program: (T, C, H, W, 3) uint8 -> points3d (T, J, 3)."""
+    model = HourglassNet(spec)
+    R, tvec, intr, _ = calib
+    P = jnp.asarray(
+        np.asarray(intr) @ np.concatenate(
+            [np.asarray(R), np.asarray(tvec)[:, :, None]], axis=2
+        ),
+        jnp.float32,
+    )
+    order = np.asarray(camera_ordering)
+    flip_mask = np.zeros(NUM_CAMERAS, bool)
+    flip_mask[order[4:]] = True
+    flip_d = jnp.asarray(flip_mask)
+
+    # static index maps for the 19->38 scatter (reference core.py:189-199)
+    left_cams = jnp.asarray(order[:3])
+    right_cams = jnp.asarray(order[4:])
+
+    @jax.jit
+    def pipeline(frames_u8):
+        T = frames_u8.shape[0]
+        x = frames_u8.reshape(T * NUM_CAMERAS, IMAGE_H, IMAGE_W, 3)
+        x = x.astype(compute_dtype) / 255.0
+        flip = jnp.tile(flip_d, T)
+        x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+        x = jax.image.resize(
+            x, (x.shape[0], INPUT_SHAPE[0], INPUT_SHAPE[1], 3), method="bilinear"
+        )
+        heatmaps = model.apply(variables, x, train=False)[-1]
+        # decode: integer argmax, normalized (row, col)
+        N, Hh, Ww, K = heatmaps.shape
+        flat = heatmaps.transpose(0, 3, 1, 2).reshape(N, K, Hh * Ww)
+        idx = jnp.argmax(flat, axis=-1)
+        row = (idx // Ww).astype(jnp.float32) / Hh
+        col = (idx % Ww).astype(jnp.float32) / Ww
+        pts19 = jnp.stack([row, col], -1).reshape(T, NUM_CAMERAS, K, 2)
+        pts19 = pts19.transpose(1, 0, 2, 3)              # (C, T, 19, 2)
+
+        # 19->38 assembly on device
+        p38 = jnp.zeros((NUM_CAMERAS, T, 2 * K, 2), jnp.float32)
+        p38 = p38.at[left_cams, :, :K].set(pts19[left_cams])
+        p38 = p38.at[right_cams, :, K:].set(pts19[right_cams])
+        p38 = p38.at[order[2], :, 15:].set(0.0)
+        p38 = p38.at[order[4], :, K + 15 :].set(0.0)
+        flipped_cols = 1.0 - p38[right_cams, ..., 1]
+        p38 = p38.at[right_cams, ..., 1].set(flipped_cols)
+
+        # masked DLT triangulation
+        pts3d = geometry.triangulate(
+            p38, jnp.asarray(R, jnp.float32), jnp.asarray(tvec, jnp.float32),
+            jnp.asarray(intr, jnp.float32), (IMAGE_W, IMAGE_H),
+        )
+        return pts3d
+
+    return pipeline
+
+
+def main():
+    import pickle
+
+    devices = jax.devices()
+    if os.path.exists(WEIGHTS):
+        variables, spec = load_weights(WEIGHTS)
+    else:
+        spec = HourglassSpec(num_stacks=2, features=64, num_classes=19)
+        model = HourglassNet(spec)
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1,) + INPUT_SHAPE + (3,), jnp.float32),
+            train=False,
+        )
+    # bf16 trunk for the MXU; head/decode stay f32 inside the model
+    spec = HourglassSpec(
+        **{**spec.__dict__, "compute_dtype": jnp.bfloat16}
+    )
+
+    calib_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "data", "calib.pkl"
+    )
+    with open(calib_path, "rb") as f:
+        calib_dict = pickle.load(f)
+    calib = geometry.calib_to_arrays(calib_dict, NUM_CAMERAS, dtype=np.float32)
+
+    pipeline = build_pipeline(
+        spec, variables, calib, np.arange(NUM_CAMERAS), jnp.float32
+    )
+
+    T = 16  # timesteps per step -> batch of 112 images
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(
+        rng.integers(0, 255, size=(T, NUM_CAMERAS, IMAGE_H, IMAGE_W, 3)),
+        jnp.uint8,
+    )
+
+    # warmup / compile
+    out = pipeline(frames)
+    jax.block_until_ready(out)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = pipeline(frames)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    fps = T * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "7-cam frames/sec/chip (2D hourglass + DLT 3D, e2e jitted)",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / BASELINE_FPS, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

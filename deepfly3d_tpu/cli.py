@@ -1,0 +1,250 @@
+"""``df3d-cli`` — command-line pipeline driver.
+
+Flag surface and batch semantics of reference df3d/cli.py:62-166 (verbatim
+argparse options, default ``<input>_df3d`` output dir, recursive / from-file
+folder iteration with per-folder error isolation, KeyboardInterrupt stops
+the batch) plus TPU-specific additions (``--solver``, ``--soft-argmax``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+from collections import deque
+from pathlib import Path
+
+from deepfly3d_tpu import logger
+
+
+def main() -> int:
+    args = parse_cli_args()
+    setup_logger(args)
+
+    if args.debug:
+        return print_debug(args)
+
+    if args.from_file and args.recursive:
+        logger.error(
+            'Error: choose an input method between "from file" and '
+            '"recursive" but not both.'
+        )
+        return 1
+
+    if args.recursive:
+        return run_recursive(args)
+    if args.from_file:
+        return run_from_file(args)
+    return run(args)
+
+
+def setup_logger(args):
+    handler = logging.StreamHandler()
+    handler.setLevel(logging.DEBUG)
+    log = logger.getLogger()
+    log.addHandler(handler)
+    log.setLevel(logging.WARNING)
+    if args.verbose:
+        log.setLevel(logging.INFO)
+    if args.verbose2:
+        log.setLevel(logging.DEBUG)
+
+
+def parse_cli_args(argv=None):
+    parser = argparse.ArgumentParser(description="DeepFly3D pose estimation")
+    parser.add_argument("-v", "--verbose", action="store_true",
+                        help="Enable info output (such as progress bars)")
+    parser.add_argument("-vv", "--verbose2", action="store_true",
+                        help="Enable debug output")
+    parser.add_argument("-d", "--debug", action="store_true",
+                        help="Displays the argument list for debugging purposes")
+    parser.add_argument("input_folder", metavar="INPUT",
+                        help="Without additional arguments, a folder containing unlabeled images.")
+    parser.add_argument("--output-folder", default=None,
+                        help="The name of the folder where results will be written. "
+                             "If not specified, a folder named <INPUT>_df3d is used.")
+    parser.add_argument("-r", "--recursive", action="store_true",
+                        help="INPUT is a folder. Successively use its subfolders named 'images/'")
+    parser.add_argument("-f", "--from-file", action="store_true",
+                        help="INPUT is a text-file, where each line names a folder. "
+                             "Successively use the listed folders.")
+    parser.add_argument("-x", "--delete-images", action="store_true",
+                        help="Delete image files after running. Only deletes if a "
+                             "corresponding .mp4 exists in the folder.")
+    parser.add_argument("-n", "--num-images-max", type=int, default=0,
+                        help="Maximal number of images to process. 0 processes all.")
+    parser.add_argument("--order", "--camera-ids", type=int, nargs="*",
+                        default=[0, 1, 2, 3, 4, 5, 6],
+                        help="Ordering of the cameras provided as a list of ids. "
+                             "Example: --order 0 1 4 3 2 5 6.")
+    parser.add_argument("--video-2d", action="store_true",
+                        help="Generate pose2d videos")
+    parser.add_argument("--video-3d", action="store_true",
+                        help="Generate pose3d videos")
+    parser.add_argument("--skip-pose-estimation", dest="skip_estimation",
+                        action="store_true", help="Skip 2D and 3D pose estimation")
+    parser.add_argument("--batch-size", type=int, default=8,
+                        help="Batch size for inference")
+    parser.add_argument("--pin-memory-disabled", action="store_true",
+                        help="Accepted for compatibility with the torch-based "
+                             "reference; ingest here is a jitted device pipeline.")
+    parser.add_argument("--output-fps", type=float, default=None,
+                        help="FPS for output videos. Defaults to the input video FPS.")
+    # --- TPU-native additions
+    parser.add_argument("--solver", choices=["parity", "lm"], default="parity",
+                        help="Bundle-adjustment solver: 'parity' replicates the "
+                             "reference optimizer exactly, 'lm' is the batched "
+                             "on-device Levenberg-Marquardt.")
+    parser.add_argument("--soft-argmax", action="store_true",
+                        help="Sub-pixel heatmap decoding (off = reference-exact argmax)")
+    parser.add_argument("--checkpoint", default=None,
+                        help="Override the hourglass weight file")
+    args = parser.parse_args(argv)
+    args.input_folder = Path(args.input_folder).expanduser().resolve()
+    if args.output_folder is None:
+        args.output_folder = args.input_folder.with_name(
+            args.input_folder.stem + "_df3d"
+        )
+    else:
+        args.output_folder = Path(args.output_folder).expanduser().resolve()
+    args.input_folder = str(args.input_folder)
+    args.output_folder = str(args.output_folder)
+    return args
+
+
+def print_debug(args) -> int:
+    print(
+        "Enabled logging level: "
+        f"{logging.getLevelName(logger.getLogger().getEffectiveLevel())}"
+    )
+    print("Arguments are:")
+    for key, val in vars(args).items():
+        print(f"\t{key}: {val}")
+    print()
+    return 0
+
+
+def run_from_file(args) -> int:
+    logger.info(f"Looking for folders listed in {args.input_folder}")
+    try:
+        with open(args.input_folder, "r") as f:
+            folders = [line.strip() for line in f]
+    except FileNotFoundError:
+        logger.error(f"Unable to find the file {args.input_folder}")
+        return 1
+    except IsADirectoryError:
+        logger.error(f"{args.input_folder} is a directory, please provide a file.")
+        return 1
+
+    folders = [f for f in dict.fromkeys(folders) if f.strip()]
+    paths = [Path(f) for f in folders]
+    bad = [p for p in paths if not p.is_dir()]
+    for p in bad:
+        logger.error(f"[Error] Not a directory or does not exist: {p}")
+    if bad:
+        return 1
+    logger.info("Folders found:\n-" + "\n-".join(folders))
+    args.from_file = False
+    return run_in_folders(args, paths)
+
+
+def run_recursive(args) -> int:
+    logger.info(
+        f"Recursively looking for subfolders named `images` inside "
+        f"`{args.input_folder}`"
+    )
+    subfolders = find_subfolders(args.input_folder, "images")
+    logger.info(f"Found {len(subfolders)} subfolders:\n-" + "\n-".join(subfolders))
+    args.recursive = False
+    return run_in_folders(args, subfolders)
+
+
+def run_in_folders(args, folders) -> int:
+    """Per-folder isolation: collect errors, report at the end
+    (reference cli.py:244-273)."""
+    errors = []
+    for folder in folders:
+        try:
+            args.input_folder = str(folder)
+            run(args)
+        except KeyboardInterrupt:
+            logger.warning("Keyboard Interrupt received. Terminating...")
+            break
+        except Exception as e:  # noqa: BLE001 — batch isolation by design
+            errors.append((folder, e))
+            logger.error(f"An error occured while processing {folder}. Continuing...")
+    if errors:
+        logger.error(
+            f"{len(errors)} out of {len(folders)} folders terminated with errors."
+        )
+        for folder, exc in errors:
+            logger.error(f"In {folder}", exc_info=exc)
+    return 1 if errors else 0
+
+
+def run(args) -> int:
+    from deepfly3d_tpu.core import Core
+    from deepfly3d_tpu.viz import video
+
+    nothing_to_do = args.skip_estimation and not args.video_2d and not args.video_3d
+    if nothing_to_do:
+        logger.info("Nothing to do. Check your command-line arguments.")
+        return 0
+
+    logger.info(f"Working in {args.input_folder}")
+    core = Core(
+        args.input_folder, args.output_folder, args.num_images_max, args.order
+    )
+
+    if not args.skip_estimation:
+        core.pose2d_estimation(
+            args.batch_size,
+            disable_pin_memory=args.pin_memory_disabled,
+            checkpoint=args.checkpoint,
+            soft_argmax=args.soft_argmax,
+        )
+        core.save()
+        core.calibrate_calc(0, core.max_img_id, solver=args.solver)
+        core.save()
+    else:
+        core.calibrate_calc(0, core.max_img_id, solver=args.solver)
+        core.save()
+
+    fps = args.output_fps if args.output_fps is not None else core.fps
+    if args.video_2d:
+        video.make_pose2d_video(
+            core.plot_2d, core.num_images, core.input_folder,
+            core.output_folder, fps=fps,
+        )
+    if args.video_3d:
+        video.make_pose3d_video(
+            core.get_points3d(), core.plot_2d, core.num_images,
+            core.input_folder, core.output_folder, fps=fps,
+            skeleton=core.config.skeleton,
+        )
+    if args.delete_images:
+        core.delete_images()
+    return 0
+
+
+def find_subfolders(path, name):
+    """BFS for subfolders named ``name``; stops descending at matches
+    (reference cli.py:329-354)."""
+    found = []
+    to_visit = deque([Path(path)])
+    visited = set()
+    while to_visit:
+        current = to_visit.popleft()
+        if current.is_dir() and current not in visited:
+            visited.add(current)
+            if current.name == name:
+                found.append(str(current))
+            else:
+                for child in current.iterdir():
+                    to_visit.append(child)
+    return found
+
+
+if __name__ == "__main__":
+    sys.exit(main())

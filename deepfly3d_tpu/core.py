@@ -1,0 +1,512 @@
+"""Core session — the stateful façade over the whole pipeline.
+
+API-compatible with the reference ``df3d.core.Core`` (reference
+df3d/core.py:62-544): folder setup and video expansion, camera ordering,
+2D inference + postprocess, calibration, triangulation, procrustes, save /
+resume from ``df3d_result_*.pkl``, manual-correction plumbing, plotting
+callbacks — but every numeric stage dispatches to the vectorized JAX ops in
+``deepfly3d_tpu.ops`` instead of the reference's df2d/pyba dependencies.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from deepfly3d_tpu import logger
+from deepfly3d_tpu.config import Config, fly_config
+from deepfly3d_tpu.io import discovery, result_schema
+from deepfly3d_tpu.io.posedb import PoseDB
+from deepfly3d_tpu.ops import bundle_adjust as ba_mod
+from deepfly3d_tpu.ops import filters, geometry, procrustes
+
+# Known lab-account camera orderings inferred from the folder path (the
+# reference hardcodes the same table, df3d/core.py:34-42).
+_KNOWN_ORDERINGS = [
+    (r"/CLC/", [0, 6, 5, 4, 3, 2, 1]),
+    (r"/FA/", [6, 5, 4, 3, 2, 1, 0]),
+    (r"/SG/", [6, 5, 4, 3, 2, 1, 0]),
+    (r"Laura", [0, 6, 5, 4, 3, 2, 1]),
+    (r"AYMANNS_Florian", [6, 5, 4, 3, 2, 1, 0]),
+    (r"sample/test", [0, 1, 2, 3, 4, 5, 6]),
+    (r"/JB/", [6, 5, 4, 3, 2, 1, 0]),
+]
+
+
+def find_default_camera_ordering(input_folder: str) -> np.ndarray:
+    """Infer camera ordering from the folder path (reference core.py:24-59)."""
+    path = str(input_folder)
+    for regex, order in _KNOWN_ORDERINGS:
+        if re.search(regex, path):
+            logger.debug(f"Default camera ordering found: {order}")
+            return np.array(order)
+    raise NotImplementedError(
+        f"Cannot find camera ordering for folder {path}. Please set your "
+        "camera ordering using the --order flag. Example usage is "
+        "df3d-cli /your/path/images/ --order 0 1 2 3 4 5 6"
+    )
+
+
+class Core:
+    def __init__(
+        self,
+        input_folder: str,
+        output_folder: Optional[str] = None,
+        num_images_max: Optional[int] = None,
+        camera_ordering: Optional[Sequence[int]] = (0, 1, 2, 3, 4, 5, 6),
+        config: Optional[Config] = None,
+    ):
+        self.config = config or fly_config()
+        self.input_folder = input_folder
+        self.output_folder = (
+            output_folder if output_folder is not None else self._input_folder + "_df3d"
+        )
+
+        self.expand_videos()
+        self.fps = self.get_fps()
+        self.num_images_max = num_images_max if num_images_max is not None else 0
+        self.max_img_id = discovery.get_max_img_id(
+            self._input_folder, self.config.num_cameras
+        )
+        if self.num_images_max > 0:
+            self.num_images = min(self.num_images_max, self.max_img_id + 1)
+            self.max_img_id = self.num_images - 1
+        else:
+            self.num_images = self.max_img_id + 1
+
+        self._probe_image_shape()
+        self.db = PoseDB(self._output_folder, self.config.num_cameras)
+        self.camera_ordering = self.setup_camera_ordering(camera_ordering)
+
+        self.points2d: Optional[np.ndarray] = None   # (C,T,J,2) normalized (row,col)
+        self.conf: Optional[np.ndarray] = None       # (C,T,J/2,1)
+        self.points3d: Optional[np.ndarray] = None   # (T,J,3) post-procrustes
+        self.calib: Optional[dict] = None            # {cam: {R,tvec,intr,distort}}
+        self._points3d_wo: Optional[np.ndarray] = None
+        self._smooth_cache: dict = {}
+        self._estimator = None
+
+        # resume from an existing result pickle (reference core.py:108-126)
+        if os.path.exists(self.save_path):
+            saved = result_schema.load_result(self.save_path)
+            self.points2d = saved["points2d"]
+            self.conf = saved.get("heatmap_confidence")
+            if "points3d" in saved:
+                self.points3d = saved["points3d"]
+            if "points3d_wo_procrustes" in saved:
+                self._points3d_wo = saved["points3d_wo_procrustes"]
+            calib = result_schema.extract_calib(saved)
+            if calib:
+                self.calib = calib
+
+    # ------------------------------------------------------------ properties
+
+    @property
+    def input_folder(self) -> str:
+        return self._input_folder
+
+    @input_folder.setter
+    def input_folder(self, value: str):
+        value = os.path.abspath(str(value)).rstrip("/")
+        assert os.path.isdir(value), f"Not a directory {value}"
+        self._input_folder = value
+
+    @property
+    def output_folder(self) -> str:
+        return self._output_folder
+
+    @output_folder.setter
+    def output_folder(self, value: str):
+        os.makedirs(value, exist_ok=True)
+        value = os.path.abspath(str(value)).rstrip("/")
+        assert os.path.isdir(value), f"Not a directory {value}"
+        self._output_folder = value
+
+    @property
+    def number_of_joints(self) -> int:
+        return self.config.num_joints
+
+    @property
+    def has_pose(self) -> bool:
+        return self.points2d is not None
+
+    @property
+    def has_calibration(self) -> bool:
+        return self.calib is not None
+
+    @property
+    def save_path(self) -> str:
+        return result_schema.result_path(self._output_folder, self._input_folder)
+
+    @property
+    def image_shape(self) -> List[int]:
+        """[width, height] (reference core.py:92-97 convention)."""
+        return list(self._image_shape)
+
+    # --------------------------------------------------------------- setup
+
+    def _probe_image_shape(self):
+        template = discovery.image_path_template(self._input_folder)
+        image0 = template.format(cam_id=0, img_id=0)
+        probed = None
+        if os.path.exists(image0):
+            img = discovery.read_image(image0)
+            probed = [img.shape[1], img.shape[0]]   # [width, height]
+        configured = self.config.image_shape
+        if configured is not None and probed is not None and list(configured) != probed:
+            raise ValueError(
+                f"Actual image shape {probed} does not match configured "
+                f"image shape {list(configured)}"
+            )
+        shape = probed or (list(configured) if configured else None)
+        if shape is None:
+            raise ValueError(
+                f"Image shape not configured and could not be read from {image0}"
+            )
+        self._image_shape = tuple(shape)
+        self.config.image_shape = tuple(shape)
+
+    def setup_camera_ordering(self, camera_ordering) -> np.ndarray:
+        if camera_ordering is None:
+            return find_default_camera_ordering(self._input_folder)
+        return np.array(list(camera_ordering))
+
+    # ------------------------------------------------------------ pipeline
+
+    def pose2d_estimation(
+        self,
+        batch_size: int = 8,
+        disable_pin_memory: bool = False,   # accepted for CLI parity; no-op
+        checkpoint: Optional[str] = None,
+        soft_argmax: bool = False,
+    ):
+        """Run hourglass inference + the 19->38 postprocess.
+
+        Reference flow: df3d/core.py:170-203 (df2d inference, side scatter,
+        stripe zeroing, right-camera unflip incl. the 1.0 artifact).
+        """
+        from deepfly3d_tpu.models import decode as decode_mod
+        from deepfly3d_tpu.models.inference import PoseEstimator
+
+        ckpt = checkpoint or self.config.network.checkpoint
+        if self._estimator is None or checkpoint is not None:
+            self._estimator = PoseEstimator(
+                ckpt,
+                input_shape=self.config.network.input_shape,
+                soft_argmax=soft_argmax,
+            )
+        flip = [
+            cam
+            for idx, cam in enumerate(self.camera_ordering)
+            if idx > 3
+        ]
+        pts19, conf = self._estimator.infer_folder(
+            self._input_folder,
+            camera_ids_to_flip=flip,
+            max_img_id=self.max_img_id,
+            batch_size=batch_size,
+            num_cameras=self.config.num_cameras,
+        )
+        self.points2d = decode_mod.postprocess_points2d(
+            pts19, self.camera_ordering, self.config.num_joints
+        )
+        self.conf = conf
+        self._invalidate_downstream()
+
+    def calibrate_calc(
+        self,
+        min_img_id: int = 0,
+        max_img_id: int = 10**9,
+        solver: str = "parity",
+    ):
+        """Bundle-adjust extrinsics from the calib prior (reference core.py:229-250)."""
+        import pickle
+
+        with open(self.config.calib_prior_path, "rb") as f:
+            prior = pickle.load(f)
+        prior = {
+            cidx: prior[idx] for idx, cidx in enumerate(self.camera_ordering)
+        }
+        result = ba_mod.bundle_adjust(
+            self.points2d,
+            prior,
+            tuple(self._image_shape),
+            update_intrinsic=False,
+            update_distort=False,
+            solver=solver,
+        )
+        self.calib = result.calib
+        self._invalidate_downstream()
+        err = self.reprojection_error()
+        print(f"Reprojection error is {err}")
+        return result
+
+    def triangulate(self) -> np.ndarray:
+        """DLT-triangulate current points2d with current calibration."""
+        import jax.numpy as jnp
+
+        assert self.has_calibration, "Calibrate first."
+        R, tvec, intr, _ = geometry.calib_to_arrays(
+            self.calib, self.config.num_cameras
+        )
+        self._points3d_wo = np.asarray(
+            geometry.triangulate(
+                jnp.asarray(self.points2d),
+                jnp.asarray(R),
+                jnp.asarray(tvec),
+                jnp.asarray(intr),
+                tuple(self._image_shape),
+            )
+        )
+        return self._points3d_wo
+
+    def reprojection_error(self) -> float:
+        import jax.numpy as jnp
+
+        if self._points3d_wo is None:
+            self.triangulate()
+        R, tvec, intr, dist = geometry.calib_to_arrays(
+            self.calib, self.config.num_cameras
+        )
+        return float(
+            geometry.reprojection_error(
+                jnp.asarray(self._points3d_wo),
+                jnp.asarray(self.points2d),
+                jnp.asarray(R),
+                jnp.asarray(tvec),
+                jnp.asarray(intr),
+                jnp.asarray(dist),
+                tuple(self._image_shape),
+            )
+        )
+
+    def save(self):
+        """Write the df3d_result pickle (reference core.py:349-369)."""
+        points3d = None
+        points3d_wo = None
+        if self.has_calibration:
+            points3d_wo = self.triangulate()
+            points3d = procrustes.procrustes_separate(
+                points3d_wo, self._template_points3d()
+            )
+            self.points3d = points3d
+        else:
+            logger.debug("Triangulation skipped.")
+        result_schema.save_result(
+            self.save_path,
+            points2d=self.points2d,
+            camera_ordering=self.camera_ordering,
+            heatmap_confidence=self.conf,
+            calib=self.calib,
+            points3d=points3d,
+            points3d_wo_procrustes=points3d_wo,
+        )
+        print(f"Saved results at: {self.save_path}")
+
+    def get_points3d(self) -> np.ndarray:
+        """Procrustes + normalize/rotate + One-Euro (reference core.py:332-343)."""
+        if self._points3d_wo is None:
+            self.triangulate()
+        pts = procrustes.procrustes_separate(
+            np.copy(self._points3d_wo), self._template_points3d()
+        )
+        pts = procrustes.normalize_pose_3d(pts, rotate=True)
+        return filters.filter_batch(pts)
+
+    def _template_points3d(self) -> np.ndarray:
+        return procrustes.load_template_points3d(
+            self.config.procrustes_template_path
+        )
+
+    def _invalidate_downstream(self):
+        self._points3d_wo = None
+        self._smooth_cache = {}
+
+    # -------------------------------------------------- corrections / GUI
+
+    def points2d_pixels_xy(self, cam_id: int, img_id: int) -> np.ndarray:
+        """(J, 2) pixel (x, y) predictions for one view."""
+        p = self.points2d[cam_id, img_id]
+        w, h = self._image_shape
+        return np.stack([p[:, 1] * w, p[:, 0] * h], axis=-1)
+
+    def corrected_points2d(self, cam_id: int, img_id: int) -> np.ndarray:
+        """Estimated or manually corrected (x, y) pixels (reference core.py:374-385)."""
+        pts = self.points2d_pixels_xy(cam_id, img_id).copy()
+        corrections = self.db.manual_corrections(self._image_shape)
+        if img_id in corrections.get(cam_id, {}):
+            pts[:] = corrections[cam_id][img_id]
+        return pts
+
+    def corrected_points2d_matrix(self) -> np.ndarray:
+        """(C, T, J, 2) pixel (x, y) with manual corrections applied."""
+        w, h = self._image_shape
+        pts = np.stack(
+            [self.points2d[..., 1] * w, self.points2d[..., 0] * h], axis=-1
+        )
+        corrections = self.db.manual_corrections(self._image_shape)
+        for cam_id in range(self.config.num_cameras):
+            for img_id in corrections.get(cam_id, {}):
+                if img_id < pts.shape[1]:
+                    pts[cam_id, img_id] = corrections[cam_id][img_id]
+        return pts
+
+    def nearest_joint(self, cam_id: int, img_id: int, x: float, y: float) -> int:
+        """Index of the visible joint nearest to pixel (x, y).
+
+        The reference delegates to sklearn NearestNeighbors over 38 points
+        (core.py:253-275); a masked argmin is exact and dependency-free.
+        """
+        pts = self.corrected_points2d(cam_id, img_id)
+        visible = self.config.skeleton.camera_sees_joint_matrix[cam_id]
+        d2 = np.sum((pts - np.array([x, y])) ** 2, axis=-1)
+        d2 = np.where(visible, d2, np.inf)
+        return int(np.argmin(d2))
+
+    def move_joint(self, cam_id: int, img_id: int, joint_id: int, x: float, y: float):
+        modified = self.db.read_modified_joints(cam_id, img_id)
+        modified = list(sorted(set(modified + [joint_id])))
+        pts = self.corrected_points2d(cam_id, img_id)
+        pts[joint_id] = np.array([x, y])
+        self.write_corrections(cam_id, img_id, modified, pts)
+
+    def write_corrections(
+        self, cam_id: int, img_id: int, modified_joints: List[int], points2d_xy
+    ):
+        """Persist corrections that differ >30px L1 from the prediction
+        (reference core.py:509-544)."""
+        l1_threshold = 30
+        skel = self.config.skeleton
+        original = self.points2d_pixels_xy(cam_id, img_id)
+        l1 = np.abs(original - points2d_xy)
+        check = [
+            j
+            for j in range(skel.num_joints)
+            if j not in skel.ignore_joint_id and skel.camera_see_joint(cam_id, j)
+        ]
+        unseen = [
+            j for j in range(skel.num_joints) if not skel.camera_see_joint(cam_id, j)
+        ]
+        if np.any(l1[check] > l1_threshold):
+            pts = np.array(points2d_xy, dtype=np.float64)
+            pts[unseen] = 0.0
+            pts = pts / np.asarray(self._image_shape, dtype=np.float64)
+            self.db.write(pts, cam_id, img_id, True, modified_joints)
+        else:
+            self.db.remove_corrections(cam_id, img_id)
+
+    def save_corrections(self):
+        self.db.dump()
+
+    # ------------------------------------------------------ error navigation
+
+    def next_error(self, img_id: int) -> Optional[int]:
+        """Next frame after img_id with a suspect prediction (fixed-forward
+        version of the reference's broken camNetLeft/camNetRight methods,
+        reference core.py:205-227, 481-507)."""
+        return self._next_error_in_range(range(img_id + 1, self.max_img_id + 1))
+
+    def prev_error(self, img_id: int) -> Optional[int]:
+        return self._next_error_in_range(range(img_id - 1, -1, -1))
+
+    def _joint_reprojection_errors(self) -> np.ndarray:
+        """(T, J) max-over-cameras pixel reprojection error."""
+        import jax.numpy as jnp
+
+        if self._points3d_wo is None:
+            self.triangulate()
+        R, tvec, intr, dist = geometry.calib_to_arrays(
+            self.calib, self.config.num_cameras
+        )
+        res, mask = geometry.reprojection_residuals(
+            jnp.asarray(self._points3d_wo),
+            jnp.asarray(self.points2d),
+            jnp.asarray(R),
+            jnp.asarray(tvec),
+            jnp.asarray(intr),
+            jnp.asarray(dist),
+            tuple(self._image_shape),
+        )
+        norms = np.asarray(jnp.linalg.norm(res, axis=-1))  # (C,T,J)
+        return norms.max(axis=0)
+
+    def _next_error_in_range(self, rng) -> Optional[int]:
+        if not self.has_calibration:
+            return None
+        errors = self._joint_reprojection_errors()
+        thr = self.config.reproj_thr_px
+        pictorial = set(self.config.skeleton.pictorial_joint_list)
+        joints = [j for j in range(self.config.num_joints) if j in pictorial]
+        for img_id in rng:
+            if img_id < 0 or img_id >= errors.shape[0]:
+                continue
+            if np.any(errors[img_id, joints] > thr):
+                return int(img_id)
+        return None
+
+    def joint_has_error(self, img_id: int, joint_id: int) -> bool:
+        errors = self._joint_reprojection_errors()
+        return bool(errors[img_id, joint_id] > self.config.reproj_thr_px)
+
+    # ------------------------------------------------------------- plotting
+
+    def get_image(self, cam_id: int, img_id: int) -> np.ndarray:
+        return discovery.read_image(
+            discovery.image_path_template(self._input_folder).format(
+                cam_id=cam_id, img_id=img_id
+            )
+        )
+
+    def smooth_points2d(self, cam_id: int) -> np.ndarray:
+        """Memoized adaptive-smoothed (x, y) pixel tracks for videos
+        (reference core.py:286-296)."""
+        if cam_id not in self._smooth_cache:
+            w, h = self._image_shape
+            pts = np.stack(
+                [self.points2d[cam_id, ..., 1] * w, self.points2d[cam_id, ..., 0] * h],
+                axis=-1,
+            )
+            self._smooth_cache[cam_id] = filters.smooth_pose2d(pts)
+        return self._smooth_cache[cam_id]
+
+    def plot_2d(
+        self,
+        cam_id: int,
+        img_id: int,
+        with_corrections: bool = False,
+        smooth: bool = False,
+        joints: Sequence[int] = (),
+    ) -> np.ndarray:
+        """Render the 2D pose overlay for one view (reference core.py:298-319)."""
+        from deepfly3d_tpu.viz import plot2d
+
+        if with_corrections:
+            pts = self.corrected_points2d(cam_id, img_id)
+        elif smooth:
+            pts = self.smooth_points2d(cam_id)[img_id]
+        else:
+            pts = self.points2d_pixels_xy(cam_id, img_id)
+        img = self.get_image(cam_id, img_id)
+        return plot2d.draw_pose2d(
+            img,
+            pts,
+            self.config.skeleton,
+            cam_id=cam_id,
+            joints=joints,
+            line_thickness=self.config.line_thickness,
+            scatter_r=self.config.scatter_r,
+        )
+
+    # -------------------------------------------------------------- media
+
+    def expand_videos(self):
+        discovery.expand_videos(self._input_folder)
+
+    def get_fps(self) -> Optional[float]:
+        return discovery.probe_fps(self._input_folder)
+
+    def delete_images(self):
+        discovery.delete_images(self._input_folder)

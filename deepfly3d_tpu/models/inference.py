@@ -1,0 +1,157 @@
+"""Batched 2D pose inference over a recording folder.
+
+TPU-native replacement for the external df2d ``inference_folder`` contract
+(called at reference df3d/core.py:177-185): host threads decode JPEGs while
+the device runs resize -> normalize -> hourglass -> decode as one fused XLA
+program; batches are prefetched so H2D transfer overlaps compute (the role
+of the reference's pinned-memory DataLoader, reference cli.py:146-150).
+
+Output contract: ``points2d`` (C, T, 19, 2) normalized (row, col) with
+right-side cameras fed horizontally flipped images, ``conf`` (C, T, 19, 1)
+unnormalized heatmap maxima.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as futures
+import os
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepfly3d_tpu import logger
+from deepfly3d_tpu.io import discovery
+from deepfly3d_tpu.models import decode as decode_mod
+from deepfly3d_tpu.models.hourglass import HourglassNet, HourglassSpec, load_weights
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spec", "input_shape", "soft_argmax"),
+)
+def infer_batch(
+    variables,
+    images_u8: jnp.ndarray,       # (N, H, W, 3) uint8
+    flip: jnp.ndarray,            # (N,) bool — flip width before inference
+    spec: HourglassSpec,
+    input_shape: Tuple[int, int],
+    soft_argmax: bool = False,
+):
+    """uint8 images -> (points2d (N,19,2) normalized (row,col), conf (N,19,1)).
+
+    The whole pipeline — normalize, flip, resize, forward, decode — is one
+    jitted program: a single H2D transfer of uint8 pixels per batch, no
+    intermediate host round-trips.
+    """
+    x = images_u8.astype(jnp.float32) / 255.0
+    x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+    x = jax.image.resize(
+        x, (x.shape[0], input_shape[0], input_shape[1], 3), method="bilinear"
+    )
+    model = HourglassNet(spec)
+    heatmaps = model.apply(variables, x, train=False)  # (S, N, h, w, K)
+    last = heatmaps[-1]
+    if soft_argmax:
+        return decode_mod.decode_softargmax(last)
+    return decode_mod.decode_argmax(last)
+
+
+def _read_images_threaded(paths: Sequence[str], workers: int = 16) -> np.ndarray:
+    """Decode JPEGs -> (N, H, W, 3) uint8.
+
+    Prefers the native libjpeg thread-pool decoder (native/ingest.cpp) which
+    writes one contiguous buffer ready for a single H2D transfer; falls back
+    to a Python thread pool over OpenCV.
+    """
+    from deepfly3d_tpu.io import native
+
+    if native.available() and paths:
+        probe = discovery.read_image(paths[0])
+        try:
+            return native.decode_jpeg_batch(
+                list(paths), probe.shape[0], probe.shape[1], num_threads=workers
+            )
+        except (IOError, RuntimeError) as e:
+            logger.warning(f"native decode failed ({e}), falling back to cv2")
+
+    out = [None] * len(paths)
+
+    def job(i):
+        out[i] = discovery.read_image(paths[i])
+
+    with futures.ThreadPoolExecutor(max_workers=workers) as pool:
+        list(pool.map(job, range(len(paths))))
+    return np.stack(out)
+
+
+class PoseEstimator:
+    """Loads weights once, runs folder-level inference."""
+
+    def __init__(
+        self,
+        checkpoint: str,
+        input_shape: Tuple[int, int] = (256, 512),
+        soft_argmax: bool = False,
+    ):
+        self.variables, self.spec = load_weights(checkpoint)
+        self.input_shape = tuple(input_shape)
+        self.soft_argmax = soft_argmax
+
+    def infer_images(self, images_u8: np.ndarray, flip: np.ndarray, batch_size: int = 8):
+        """(N,H,W,3) uint8 + (N,) flip flags -> (pts (N,19,2), conf (N,19,1))."""
+        pts_all, conf_all = [], []
+        N = images_u8.shape[0]
+        pad = (-N) % batch_size
+        if pad:
+            images_u8 = np.concatenate([images_u8, images_u8[:pad]], axis=0)
+            flip = np.concatenate([flip, flip[:pad]], axis=0)
+        for i in range(0, images_u8.shape[0], batch_size):
+            pts, conf = infer_batch(
+                self.variables,
+                jnp.asarray(images_u8[i : i + batch_size]),
+                jnp.asarray(flip[i : i + batch_size]),
+                self.spec,
+                self.input_shape,
+                self.soft_argmax,
+            )
+            pts_all.append(np.asarray(pts))
+            conf_all.append(np.asarray(conf))
+        pts = np.concatenate(pts_all)[:N]
+        conf = np.concatenate(conf_all)[:N]
+        return pts, conf
+
+    def infer_folder(
+        self,
+        folder: str,
+        camera_ids_to_flip: Sequence[int],
+        max_img_id: int,
+        batch_size: int = 8,
+        num_cameras: int = 7,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (points2d (C, T, 19, 2), conf (C, T, 19, 1)), T = max_img_id + 1.
+
+        Same call contract as the reference's df2d dependency
+        (reference core.py:177-185).
+        """
+        T = max_img_id + 1
+        paths, cams, flips = [], [], []
+        flip_set = set(camera_ids_to_flip)
+        for cam in range(num_cameras):
+            for img in range(T):
+                paths.append(
+                    os.path.join(folder, f"camera_{cam}_img_{img}.jpg")
+                )
+                cams.append(cam)
+                flips.append(cam in flip_set)
+        images = _read_images_threaded(paths)
+        pts, conf = self.infer_images(
+            images, np.asarray(flips), batch_size=batch_size
+        )
+        K = pts.shape[1]
+        return (
+            pts.reshape(num_cameras, T, K, 2).astype(np.float64),
+            conf.reshape(num_cameras, T, K, 1).astype(np.float64),
+        )

@@ -1,0 +1,213 @@
+"""Hourglass training (TPU).
+
+The reference ships pretrained torch weights through the df2d pip package
+(``weights/sh8_deepfly.tar``, reference df3d/config.py:30-32 — the file is
+not in the repo).  This module trains our Flax hourglass directly: heatmap
+MSE with intermediate supervision across stacks, plus an explicit
+peak-amplitude term so decoded confidences match the heatmap-maximum
+contract (reference README.md:404, tested at atol 0.002,
+tests/test_df3d.py:173-179).
+
+Used both to (re)produce the golden-parity fly weights on the bundled
+sample recording and as the generic supervised trainer for new datasets —
+the train step is pjit-shardable over a device mesh (see
+deepfly3d_tpu/parallel/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from deepfly3d_tpu.models.hourglass import HourglassNet, HourglassSpec
+
+
+# ---------------------------------------------------------------- targets
+
+
+def render_target_heatmaps(
+    coords_rowcol: np.ndarray,     # (N, K, 2) normalized, NETWORK frame
+    peak_values: np.ndarray,       # (N, K)
+    known: np.ndarray,             # (N, K) bool — coords valid
+    heatmap_shape: Tuple[int, int],
+    sigma: float = 1.5,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Gaussian target heatmaps with peak == confidence target.
+
+    Unknown-position channels get their peak at the heatmap center — the
+    decode contract only constrains their *maximum value*, not its location
+    (e.g. the middle camera's predictions are discarded by the reference
+    postprocess, core.py:190-191, yet their confidences are kept).
+    Returns (heatmaps (N, H, W, K), peak_cells (N, K, 2) int).
+    """
+    H, W = heatmap_shape
+    N, K = peak_values.shape
+    rows = np.where(known, np.round(coords_rowcol[..., 0] * H), H // 2).astype(int)
+    cols = np.where(known, np.round(coords_rowcol[..., 1] * W), W // 2).astype(int)
+    rows = np.clip(rows, 0, H - 1)
+    cols = np.clip(cols, 0, W - 1)
+    yy = np.arange(H)[:, None]
+    xx = np.arange(W)[None, :]
+    hm = np.zeros((N, H, W, K), dtype=np.float32)
+    for n in range(N):
+        d2 = (yy[None] - rows[n][:, None, None]) ** 2 + (
+            xx[None] - cols[n][:, None, None]
+        ) ** 2  # (K, H, W)
+        g = np.exp(-0.5 * d2 / sigma**2) * peak_values[n][:, None, None]
+        hm[n] = g.transpose(1, 2, 0)
+    return hm, np.stack([rows, cols], axis=-1)
+
+
+def golden_training_targets(
+    points2d_38: np.ndarray,       # (C, T, 38, 2) golden normalized (row, col)
+    conf: np.ndarray,              # (C, T, 19, 1)
+    camera_ordering: Sequence[int],
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Invert the reference postprocess (core.py:189-203) to per-camera
+    19-channel network-frame targets.
+
+    Returns (coords (C, T, 19, 2), peaks (C, T, 19), known (C, T, 19)).
+    Right-side cameras' columns are re-flipped (the network sees mirrored
+    images); channels whose positions the postprocess destroyed (middle
+    camera, zeroed stripe channels) are marked unknown.
+    """
+    order = list(camera_ordering)
+    C, T = points2d_38.shape[:2]
+    side = points2d_38.shape[2] // 2
+    coords = np.zeros((C, T, side, 2), dtype=np.float64)
+    known = np.zeros((C, T, side), dtype=bool)
+    for pos, cam in enumerate(order):
+        if pos <= 2:
+            stored = points2d_38[cam, :, :side]
+            coords[cam] = stored
+            known[cam] = stored.any(axis=-1)
+        elif pos >= 4:
+            stored = points2d_38[cam, :, side:]
+            net = stored.copy()
+            net[..., 1] = 1.0 - net[..., 1]   # undo the unflip
+            coords[cam] = net
+            # artifact entries are stored as (0, 1) -> net (0, 0): unknown
+            known[cam] = net.any(axis=-1)
+        # pos == 3: all unknown
+    peaks = conf[..., 0].astype(np.float64)
+    return coords, peaks, known
+
+
+# ------------------------------------------------------------------ trainer
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    learning_rate: float = 2.5e-3
+    steps: int = 6000
+    batch_size: int = 16
+    sigma: float = 1.5
+    peak_loss_weight: float = 30.0
+    warmup: int = 200
+    seed: int = 0
+
+
+def make_train_step(spec: HourglassSpec, tx, peak_loss_weight: float = 30.0):
+    """Build the jittable train step (pure function of state + batch)."""
+
+    model = HourglassNet(spec)
+
+    def loss_fn(params, batch_stats, images, targets, peak_cells, peak_vals):
+        heatmaps, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images,
+            train=True,
+            mutable=["batch_stats"],
+        )  # (S, N, H, W, K)
+        mse = jnp.mean((heatmaps - targets[None]) ** 2)
+        # explicit supervision of the peak amplitude at the target cell
+        last = heatmaps[-1]
+        N, H, W, K = last.shape
+        n_idx = jnp.arange(N)[:, None]
+        k_idx = jnp.arange(K)[None, :]
+        pred_peak = last[n_idx, peak_cells[..., 0], peak_cells[..., 1], k_idx]
+        peak_err = jnp.mean((pred_peak - peak_vals) ** 2)
+        return mse + peak_err * peak_loss_weight, (
+            updates["batch_stats"],
+            mse,
+            peak_err,
+        )
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, images, targets, peak_cells, peak_vals):
+        (loss, (new_stats, mse, peak_err)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, batch_stats, images, targets, peak_cells, peak_vals)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_stats, opt_state, loss, mse, peak_err
+
+    return train_step
+
+
+def train_overfit(
+    images_f32: np.ndarray,        # (N, h, w, 3) already preprocessed inputs
+    target_heatmaps: np.ndarray,   # (N, H, W, K)
+    peak_cells: np.ndarray,        # (N, K, 2)
+    peak_vals: np.ndarray,         # (N, K)
+    spec: HourglassSpec,
+    cfg: TrainConfig = TrainConfig(),
+    eval_fn=None,
+    eval_every: int = 500,
+):
+    """Fit the network to a fixed dataset (resident on device)."""
+    rng = jax.random.PRNGKey(cfg.seed)
+    model = HourglassNet(spec)
+    variables = model.init(
+        rng, jnp.zeros((1,) + images_f32.shape[1:], jnp.float32), train=False
+    )
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    warmup = min(cfg.warmup, max(cfg.steps // 4, 1))
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, cfg.learning_rate, warmup, cfg.steps
+    )
+    tx = optax.adam(schedule)
+    opt_state = tx.init(params)
+    train_step = make_train_step(spec, tx, cfg.peak_loss_weight)
+
+    images_d = jnp.asarray(images_f32)
+    targets_d = jnp.asarray(target_heatmaps)
+    cells_d = jnp.asarray(peak_cells)
+    peaks_d = jnp.asarray(peak_vals, dtype=jnp.float32)
+
+    N = images_f32.shape[0]
+    np_rng = np.random.default_rng(cfg.seed)
+    history = []
+    for step in range(cfg.steps):
+        idx = np_rng.choice(N, size=min(cfg.batch_size, N), replace=False)
+        idx_d = jnp.asarray(idx)
+        params, batch_stats, opt_state, loss, mse, peak_err = train_step(
+            params,
+            batch_stats,
+            opt_state,
+            images_d[idx_d],
+            targets_d[idx_d],
+            cells_d[idx_d],
+            peaks_d[idx_d],
+        )
+        if (step + 1) % eval_every == 0 or step == cfg.steps - 1:
+            rec = {
+                "step": step + 1,
+                "loss": float(loss),
+                "mse": float(mse),
+                "peak_err": float(peak_err),
+            }
+            if eval_fn is not None:
+                rec.update(
+                    eval_fn({"params": params, "batch_stats": batch_stats})
+                )
+            history.append(rec)
+            print(rec, flush=True)
+    return {"params": params, "batch_stats": batch_stats}, history

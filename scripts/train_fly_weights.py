@@ -1,0 +1,127 @@
+"""Produce golden-parity fly hourglass weights on the bundled recording.
+
+The reference obtains its 2D network weights from the df2d pip package
+(``sh8_deepfly.tar``, reference df3d/config.py:30-32 — not shipped in the
+repo).  This script trains our Flax hourglass so that the full inference
+path (uint8 -> flip -> resize -> forward -> argmax decode -> postprocess)
+reproduces the golden ``df3d_result_2d.pkl`` within the reference test
+tolerances (points2d atol 0.02, confidence atol 0.002,
+tests/test_df3d.py:167-179).
+
+Run on the TPU:  python scripts/train_fly_weights.py [--steps N]
+"""
+
+import argparse
+import os
+import pickle
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepfly3d_tpu.io import discovery
+from deepfly3d_tpu.models import decode as decode_mod
+from deepfly3d_tpu.models import train as train_mod
+from deepfly3d_tpu.models.hourglass import HourglassSpec, save_weights
+from deepfly3d_tpu.models.inference import infer_batch
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+IMAGES = os.path.join(REPO, "tests/data/reference")
+GOLDEN = os.path.join(REPO, "tests/data/reference_df3d/df3d_result_2d.pkl")
+OUT = os.path.join(REPO, "weights/hourglass_fly.npz")
+
+INPUT_SHAPE = (256, 512)
+HEATMAP_SHAPE = (64, 128)
+NUM_CAMERAS, T = 7, 15
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=6000)
+    ap.add_argument("--features", type=int, default=64)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=2.5e-3)
+    ap.add_argument("--out", default=OUT)
+    args = ap.parse_args()
+
+    print("devices:", jax.devices(), flush=True)
+
+    with open(GOLDEN, "rb") as f:
+        golden = pickle.load(f)
+    order = list(golden["camera_ordering"])
+    flip_cams = {order[i] for i in range(len(order)) if i > 3}
+
+    # ---------------- load + preprocess images exactly like infer_batch
+    paths, flips = [], []
+    for cam in range(NUM_CAMERAS):
+        for img in range(T):
+            paths.append(os.path.join(IMAGES, f"camera_{cam}_img_{img}.jpg"))
+            flips.append(cam in flip_cams)
+    raw = np.stack([discovery.read_image(p) for p in paths])  # (105,480,960,3)
+    flips = np.asarray(flips)
+
+    @jax.jit
+    def preprocess(u8, flip):
+        x = u8.astype(jnp.float32) / 255.0
+        x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+        return jax.image.resize(
+            x, (x.shape[0], INPUT_SHAPE[0], INPUT_SHAPE[1], 3), method="bilinear"
+        )
+
+    images = np.asarray(preprocess(jnp.asarray(raw), jnp.asarray(flips)))
+    print("inputs:", images.shape, flush=True)
+
+    # ---------------- targets from the golden pickle
+    coords, peaks, known = train_mod.golden_training_targets(
+        golden["points2d"], golden["heatmap_confidence"], order
+    )
+    # flatten to (105, 19, ...) in the same cam-major order as `paths`
+    coords = coords.reshape(-1, 19, 2)
+    peaks = peaks.reshape(-1, 19)
+    known = known.reshape(-1, 19)
+    targets, peak_cells = train_mod.render_target_heatmaps(
+        coords, peaks, known, HEATMAP_SHAPE, sigma=1.5
+    )
+
+    # ---------------- eval: full pipeline vs golden
+    spec = HourglassSpec(num_stacks=2, features=args.features, num_classes=19)
+    golden_p2 = golden["points2d"]
+    golden_conf = golden["heatmap_confidence"]
+
+    def eval_fn(variables):
+        pts, conf = infer_batch(
+            variables, jnp.asarray(raw), jnp.asarray(flips), spec, INPUT_SHAPE
+        )
+        pts = np.asarray(pts).reshape(NUM_CAMERAS, T, 19, 2)
+        conf = np.asarray(conf).reshape(NUM_CAMERAS, T, 19, 1)
+        p38 = decode_mod.postprocess_points2d(pts, order)
+        return {
+            "pts_maxerr": float(np.abs(p38 - golden_p2).max()),
+            "conf_maxerr": float(np.abs(conf - golden_conf).max()),
+        }
+
+    cfg = train_mod.TrainConfig(
+        learning_rate=args.lr, steps=args.steps, batch_size=args.batch_size
+    )
+    t0 = time.time()
+    variables, history = train_mod.train_overfit(
+        images, targets, peak_cells, peaks, spec, cfg,
+        eval_fn=eval_fn, eval_every=500,
+    )
+    print(f"training took {time.time()-t0:.1f}s", flush=True)
+
+    final = eval_fn(variables)
+    print("final:", final, flush=True)
+    save_weights(args.out, variables, spec)
+    print("saved:", args.out, flush=True)
+    ok = final["pts_maxerr"] < 0.02 and final["conf_maxerr"] < 0.002
+    print("PARITY:", "PASS" if ok else "FAIL", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
