@@ -1,0 +1,171 @@
+"""Core session tests — mirrors the reference suite's shape
+(reference tests/test_df3d.py): load with images/videos, calibration against
+golden 3D, save/resume, corrections."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from deepfly3d_tpu.core import Core, find_default_camera_ordering
+
+WEIGHTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "weights",
+    "hourglass_fly.npz",
+)
+
+
+def _make_core(folder, tmp_out=None):
+    return Core(
+        input_folder=folder,
+        output_folder=tmp_out or folder + "_df3d",
+        num_images_max=0,
+        camera_ordering=[0, 1, 2, 3, 4, 5, 6],
+    )
+
+
+class TestLoad:
+    def test_load_core_with_images(self, working_images):
+        core = _make_core(working_images)
+        assert core.num_images == 15
+        assert core.image_shape == [960, 480]
+        assert np.all(core.camera_ordering == np.arange(7))
+        assert not core.has_pose
+        assert not core.has_calibration
+
+    def test_load_core_with_videos(self, working_videos):
+        core = _make_core(working_videos)
+        assert core.num_images == 15
+        assert core.image_shape == [960, 480]
+
+    def test_default_ordering_regexes(self):
+        order = find_default_camera_ordering("/data/FA/exp1/images")
+        assert list(order) == [6, 5, 4, 3, 2, 1, 0]
+        with pytest.raises(NotImplementedError):
+            find_default_camera_ordering("/data/unknown/images")
+
+
+class TestCalibration:
+    def test_golden_calibration_chain(self, working_images, golden_2d, golden_3d):
+        """Seed golden 2D, calibrate, save — full golden 3D parity
+        (analog of reference test_calibration, tests/test_df3d.py:198-244)."""
+        core = _make_core(working_images)
+        core.points2d = golden_2d["points2d"]
+        core.conf = golden_2d["heatmap_confidence"]
+        core.calibrate_calc(0, 100)
+        core.save()
+
+        with open(core.save_path, "rb") as f:
+            saved = pickle.load(f)
+
+        np.testing.assert_allclose(
+            saved["points3d_wo_procrustes"],
+            golden_3d["points3d_wo_procrustes"],
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            saved["points3d"], golden_3d["points3d"], atol=1e-5
+        )
+        for cam in range(7):
+            for key in saved[cam]:
+                np.testing.assert_allclose(
+                    saved[cam][key], golden_3d[cam][key], atol=1e-4,
+                    err_msg=f"camera {cam} {key}",
+                )
+
+    def test_resume_from_saved(self, working_images, golden_2d):
+        core = _make_core(working_images)
+        core.points2d = golden_2d["points2d"]
+        core.conf = golden_2d["heatmap_confidence"]
+        core.calibrate_calc(0, 100)
+        core.save()
+
+        core2 = _make_core(working_images)
+        assert core2.has_pose
+        assert core2.has_calibration
+        np.testing.assert_array_equal(core2.points2d, core.points2d)
+
+    def test_get_points3d_pipeline(self, working_images, golden_2d):
+        core = _make_core(working_images)
+        core.points2d = golden_2d["points2d"]
+        core.conf = golden_2d["heatmap_confidence"]
+        core.calibrate_calc(0, 100)
+        pts = core.get_points3d()
+        assert pts.shape == (15, 38, 3)
+        assert np.isfinite(pts).all()
+        # median-centered after normalize_pose_3d
+        med = np.median(pts.reshape(-1, 3), axis=0)
+        assert np.abs(med).max() < 1.0
+
+    def test_error_navigation(self, working_images, golden_2d):
+        core = _make_core(working_images)
+        core.points2d = golden_2d["points2d"]
+        core.conf = golden_2d["heatmap_confidence"]
+        core.calibrate_calc(0, 100)
+        # golden recording has no >40px reprojection outliers
+        nxt = core.next_error(0)
+        assert nxt is None or isinstance(nxt, int)
+
+
+class TestCorrections:
+    def test_move_joint_and_threshold(self, working_images, golden_2d):
+        core = _make_core(working_images)
+        core.points2d = golden_2d["points2d"]
+        core.conf = golden_2d["heatmap_confidence"]
+
+        # a large move is persisted
+        before = core.corrected_points2d(0, 0).copy()
+        core.move_joint(0, 0, 2, before[2, 0] + 100, before[2, 1] + 100)
+        after = core.corrected_points2d(0, 0)
+        assert np.abs(after[2] - before[2]).max() > 90
+
+        # moving it back (below threshold) erases the correction
+        core.move_joint(0, 0, 2, before[2, 0], before[2, 1])
+        assert core.db.read(0, 0) is None
+
+    def test_nearest_joint_visibility(self, working_images, golden_2d):
+        core = _make_core(working_images)
+        core.points2d = golden_2d["points2d"]
+        core.conf = golden_2d["heatmap_confidence"]
+        pts = core.points2d_pixels_xy(0, 0)
+        j = core.nearest_joint(0, 0, pts[5, 0], pts[5, 1])
+        assert j == 5
+        # camera 0 cannot see right-side joints: never returned
+        assert core.nearest_joint(0, 0, 0, 0) < 19
+
+
+class TestPlot2D:
+    def test_plot_shapes(self, working_images, golden_2d):
+        core = _make_core(working_images)
+        core.points2d = golden_2d["points2d"]
+        core.conf = golden_2d["heatmap_confidence"]
+        img = core.plot_2d(0, 0)
+        assert img.shape == (480, 960, 3)
+        img_s = core.plot_2d(1, 0, smooth=True)
+        assert img_s.shape == (480, 960, 3)
+        # overlay actually drew something
+        raw = core.get_image(0, 0)
+        assert (img != raw).any()
+
+
+@pytest.mark.skipif(not os.path.exists(WEIGHTS), reason="weights not trained yet")
+class TestPoseEstimation:
+    def test_pose_estimation_golden(self, working_images, golden_2d):
+        """Full 2D golden parity (analog of reference test_pose_estimation,
+        tests/test_df3d.py:150-196)."""
+        core = _make_core(working_images)
+        core.pose2d_estimation()
+        np.testing.assert_allclose(
+            core.points2d, golden_2d["points2d"], atol=0.02
+        )
+        np.testing.assert_allclose(
+            core.conf, golden_2d["heatmap_confidence"], atol=0.002
+        )
+        core.save()
+        with open(core.save_path, "rb") as f:
+            saved = pickle.load(f)
+        np.testing.assert_allclose(
+            saved["points2d"], golden_2d["points2d"], atol=0.02
+        )

@@ -1,0 +1,102 @@
+"""Hourglass model, decode, and postprocess unit tests (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepfly3d_tpu.models import decode as decode_mod
+from deepfly3d_tpu.models.hourglass import (
+    HourglassNet,
+    HourglassSpec,
+    init_params,
+    load_weights,
+    save_weights,
+)
+
+TINY = HourglassSpec(num_stacks=2, features=16, depth=2, num_blocks=1, num_classes=19)
+
+
+class TestHourglass:
+    def test_forward_shapes(self):
+        variables = init_params(TINY, (64, 128), jax.random.PRNGKey(0))
+        model = HourglassNet(TINY)
+        out = model.apply(variables, jnp.zeros((2, 64, 128, 3)), train=False)
+        # (stacks, N, H/4, W/4, classes)
+        assert out.shape == (2, 2, 16, 32, 19)
+        assert out.dtype == jnp.float32
+
+    def test_train_mode_updates_stats(self):
+        variables = init_params(TINY, (64, 128), jax.random.PRNGKey(0))
+        model = HourglassNet(TINY)
+        _, updates = model.apply(
+            variables,
+            jnp.ones((2, 64, 128, 3)),
+            train=True,
+            mutable=["batch_stats"],
+        )
+        before = jax.tree_util.tree_leaves(variables["batch_stats"])
+        after = jax.tree_util.tree_leaves(updates["batch_stats"])
+        assert any(
+            not np.allclose(np.asarray(b), np.asarray(a))
+            for b, a in zip(before, after)
+        )
+
+    def test_bfloat16_compute(self):
+        spec = HourglassSpec(
+            num_stacks=1, features=16, depth=2, num_classes=4,
+            compute_dtype=jnp.bfloat16,
+        )
+        variables = init_params(spec, (32, 64), jax.random.PRNGKey(1))
+        out = HourglassNet(spec).apply(
+            variables, jnp.zeros((1, 32, 64, 3)), train=False
+        )
+        assert out.dtype == jnp.float32  # head stays f32
+
+    def test_save_load_round_trip(self, tmp_path):
+        variables = init_params(TINY, (32, 64), jax.random.PRNGKey(2))
+        path = str(tmp_path / "w.npz")
+        save_weights(path, variables, TINY)
+        loaded, spec = load_weights(path)
+        assert spec == TINY
+        x = jnp.ones((1, 32, 64, 3))
+        out1 = HourglassNet(TINY).apply(variables, x, train=False)
+        out2 = HourglassNet(spec).apply(loaded, x, train=False)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=0)
+
+
+class TestDecode:
+    def test_argmax_decode(self):
+        hm = np.zeros((1, 64, 128, 2), dtype=np.float32)
+        hm[0, 10, 100, 0] = 3.0
+        hm[0, 63, 0, 1] = 0.5
+        pts, conf = decode_mod.decode_argmax(jnp.asarray(hm))
+        np.testing.assert_allclose(
+            np.asarray(pts[0]), [[10 / 64, 100 / 128], [63 / 64, 0.0]]
+        )
+        np.testing.assert_allclose(np.asarray(conf[0, :, 0]), [3.0, 0.5])
+
+    def test_softargmax_close_to_argmax_on_peaky_maps(self):
+        rng = np.random.default_rng(0)
+        hm = rng.random((2, 64, 128, 3)).astype(np.float32) * 0.01
+        for n in range(2):
+            for k in range(3):
+                r, c = rng.integers(5, 59), rng.integers(5, 123)
+                hm[n, r, c, k] = 5.0
+        hard, _ = decode_mod.decode_argmax(jnp.asarray(hm))
+        soft, _ = decode_mod.decode_softargmax(jnp.asarray(hm), temperature=30.0)
+        np.testing.assert_allclose(np.asarray(soft), np.asarray(hard), atol=0.02)
+
+    def test_postprocess_matches_golden_structure(self, golden_2d):
+        """Inverting then re-applying the postprocess is the identity on
+        golden data — proves the 19->38 assembly + flip semantics exactly."""
+        from deepfly3d_tpu.models.train import golden_training_targets
+
+        order = list(golden_2d["camera_ordering"])
+        coords, peaks, known = golden_training_targets(
+            golden_2d["points2d"], golden_2d["heatmap_confidence"], order
+        )
+        # rebuild the per-camera 19-channel predictions the network would
+        # have produced (unknown channels decode to whatever -> use zeros)
+        pred19 = np.where(known[..., None], coords, 0.0)
+        rebuilt = decode_mod.postprocess_points2d(pred19, order)
+        np.testing.assert_allclose(rebuilt, golden_2d["points2d"], atol=0)
