@@ -53,19 +53,25 @@ class Bottleneck(nn.Module):
     def __call__(self, x, train: bool = False):
         mid = self.features // 2
         residual = x
-        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         name="bn1")(x)
         y = nn.relu(y)
         # project the skip from the post-activation tensor when widths differ
         if x.shape[-1] != self.features:
             residual = nn.Conv(self.features, (1, 1), use_bias=True,
-                               dtype=self.dtype)(y)
-        y = nn.Conv(mid, (1, 1), use_bias=True, dtype=self.dtype)(y)
-        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
+                               dtype=self.dtype, name="proj")(y)
+        y = nn.Conv(mid, (1, 1), use_bias=True, dtype=self.dtype,
+                    name="conv1")(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         name="bn2")(y)
         y = nn.relu(y)
-        y = nn.Conv(mid, (3, 3), padding=1, use_bias=True, dtype=self.dtype)(y)
-        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
+        y = nn.Conv(mid, (3, 3), padding=1, use_bias=True, dtype=self.dtype,
+                    name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         name="bn3")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (1, 1), use_bias=True, dtype=self.dtype)(y)
+        y = nn.Conv(self.features, (1, 1), use_bias=True, dtype=self.dtype,
+                    name="conv3")(y)
         return y + residual
 
 

@@ -113,8 +113,20 @@ class TrainConfig:
     seed: int = 0
 
 
-def make_train_step(spec: HourglassSpec, tx, peak_loss_weight: float = 30.0):
-    """Build the jittable train step (pure function of state + batch)."""
+def make_train_epoch(
+    spec: HourglassSpec,
+    tx,
+    peak_loss_weight: float = 30.0,
+    steps_per_call: int = 100,
+    batch_size: int = 16,
+):
+    """Build a jitted multi-step trainer: ``lax.scan`` over `steps_per_call`
+    optimizer steps with on-device batch sampling.
+
+    One dispatch per `steps_per_call` steps — essential here because the TPU
+    sits behind a high-latency tunnel; per-step Python dispatch would
+    dominate wall-clock (measured ~2 s/step vs ~ms of compute).
+    """
 
     model = HourglassNet(spec)
 
@@ -139,16 +151,31 @@ def make_train_step(spec: HourglassSpec, tx, peak_loss_weight: float = 30.0):
             peak_err,
         )
 
-    @jax.jit
-    def train_step(params, batch_stats, opt_state, images, targets, peak_cells, peak_vals):
+    def one_step(carry, rng):
+        params, batch_stats, opt_state, images, targets, cells, peaks = carry
+        idx = jax.random.randint(rng, (batch_size,), 0, images.shape[0])
         (loss, (new_stats, mse, peak_err)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(params, batch_stats, images, targets, peak_cells, peak_vals)
+        )(params, batch_stats, images[idx], targets[idx], cells[idx], peaks[idx])
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, new_stats, opt_state, loss, mse, peak_err
+        return (
+            params, new_stats, opt_state, images, targets, cells, peaks
+        ), (loss, mse, peak_err)
 
-    return train_step
+    @jax.jit
+    def train_epoch(params, batch_stats, opt_state, rng, images, targets, cells, peaks):
+        rngs = jax.random.split(rng, steps_per_call)
+        carry, metrics = jax.lax.scan(
+            one_step,
+            (params, batch_stats, opt_state, images, targets, cells, peaks),
+            rngs,
+        )
+        params, batch_stats, opt_state = carry[:3]
+        loss, mse, peak_err = (m[-1] for m in metrics)
+        return params, batch_stats, opt_state, loss, mse, peak_err
+
+    return train_epoch
 
 
 def train_overfit(
@@ -175,39 +202,35 @@ def train_overfit(
     )
     tx = optax.adam(schedule)
     opt_state = tx.init(params)
-    train_step = make_train_step(spec, tx, cfg.peak_loss_weight)
+
+    steps_per_call = min(eval_every, cfg.steps)
+    train_epoch = make_train_epoch(
+        spec, tx, cfg.peak_loss_weight, steps_per_call, cfg.batch_size
+    )
 
     images_d = jnp.asarray(images_f32)
     targets_d = jnp.asarray(target_heatmaps)
     cells_d = jnp.asarray(peak_cells)
     peaks_d = jnp.asarray(peak_vals, dtype=jnp.float32)
 
-    N = images_f32.shape[0]
-    np_rng = np.random.default_rng(cfg.seed)
+    key = rng
     history = []
-    for step in range(cfg.steps):
-        idx = np_rng.choice(N, size=min(cfg.batch_size, N), replace=False)
-        idx_d = jnp.asarray(idx)
-        params, batch_stats, opt_state, loss, mse, peak_err = train_step(
-            params,
-            batch_stats,
-            opt_state,
-            images_d[idx_d],
-            targets_d[idx_d],
-            cells_d[idx_d],
-            peaks_d[idx_d],
+    step = 0
+    while step < cfg.steps:
+        key, sub = jax.random.split(key)
+        params, batch_stats, opt_state, loss, mse, peak_err = train_epoch(
+            params, batch_stats, opt_state, sub,
+            images_d, targets_d, cells_d, peaks_d,
         )
-        if (step + 1) % eval_every == 0 or step == cfg.steps - 1:
-            rec = {
-                "step": step + 1,
-                "loss": float(loss),
-                "mse": float(mse),
-                "peak_err": float(peak_err),
-            }
-            if eval_fn is not None:
-                rec.update(
-                    eval_fn({"params": params, "batch_stats": batch_stats})
-                )
-            history.append(rec)
-            print(rec, flush=True)
+        step += steps_per_call
+        rec = {
+            "step": step,
+            "loss": float(loss),
+            "mse": float(mse),
+            "peak_err": float(peak_err),
+        }
+        if eval_fn is not None:
+            rec.update(eval_fn({"params": params, "batch_stats": batch_stats}))
+        history.append(rec)
+        print(rec, flush=True)
     return {"params": params, "batch_stats": batch_stats}, history
