@@ -1,0 +1,5 @@
+"""Utilities: profiling, stage metrics."""
+
+from deepfly3d_tpu.utils.profiling import StageTimer, trace_to
+
+__all__ = ["StageTimer", "trace_to"]
