@@ -111,6 +111,7 @@ class TrainConfig:
     peak_loss_weight: float = 30.0
     warmup: int = 200
     seed: int = 0
+    noise_scale: float = 0.0   # uniform pixel jitter (input units, ~1/255)
 
 
 def make_train_epoch(
@@ -119,6 +120,7 @@ def make_train_epoch(
     peak_loss_weight: float = 30.0,
     steps_per_call: int = 100,
     batch_size: int = 16,
+    noise_scale: float = 0.0,
 ):
     """Build a jitted multi-step trainer: ``lax.scan`` over `steps_per_call`
     optimizer steps with on-device batch sampling.
@@ -153,10 +155,19 @@ def make_train_epoch(
 
     def one_step(carry, rng):
         params, batch_stats, opt_state, images, targets, cells, peaks = carry
-        idx = jax.random.randint(rng, (batch_size,), 0, images.shape[0])
+        rng_idx, rng_noise = jax.random.split(rng)
+        idx = jax.random.randint(rng_idx, (batch_size,), 0, images.shape[0])
+        batch_images = images[idx]
+        if noise_scale > 0:
+            # pixel jitter for robustness to JPEG re-encoding (the CLI's
+            # video-expansion path re-compresses frames)
+            batch_images = batch_images + jax.random.uniform(
+                rng_noise, batch_images.shape, minval=-noise_scale,
+                maxval=noise_scale,
+            )
         (loss, (new_stats, mse, peak_err)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(params, batch_stats, images[idx], targets[idx], cells[idx], peaks[idx])
+        )(params, batch_stats, batch_images, targets[idx], cells[idx], peaks[idx])
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (
@@ -205,7 +216,8 @@ def train_overfit(
 
     steps_per_call = min(eval_every, cfg.steps)
     train_epoch = make_train_epoch(
-        spec, tx, cfg.peak_loss_weight, steps_per_call, cfg.batch_size
+        spec, tx, cfg.peak_loss_weight, steps_per_call, cfg.batch_size,
+        cfg.noise_scale,
     )
 
     images_d = jnp.asarray(images_f32)

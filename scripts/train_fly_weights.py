@@ -41,10 +41,13 @@ NUM_CAMERAS, T = 7, 15
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=6000)
-    ap.add_argument("--features", type=int, default=64)
-    ap.add_argument("--batch-size", type=int, default=16)
-    ap.add_argument("--lr", type=float, default=2.5e-3)
+    ap.add_argument("--steps", type=int, default=16000)
+    ap.add_argument("--features", type=int, default=96)
+    ap.add_argument("--batch-size", type=int, default=24)
+    ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--sigma", type=float, default=1.25)
+    ap.add_argument("--peak-weight", type=float, default=100.0)
+    ap.add_argument("--noise", type=float, default=0.008)
     ap.add_argument("--out", default=OUT)
     args = ap.parse_args()
 
@@ -84,7 +87,7 @@ def main():
     peaks = peaks.reshape(-1, 19)
     known = known.reshape(-1, 19)
     targets, peak_cells = train_mod.render_target_heatmaps(
-        coords, peaks, known, HEATMAP_SHAPE, sigma=1.5
+        coords, peaks, known, HEATMAP_SHAPE, sigma=args.sigma
     )
 
     # ---------------- eval: full pipeline vs golden
@@ -105,7 +108,12 @@ def main():
         }
 
     cfg = train_mod.TrainConfig(
-        learning_rate=args.lr, steps=args.steps, batch_size=args.batch_size
+        learning_rate=args.lr,
+        steps=args.steps,
+        batch_size=args.batch_size,
+        sigma=args.sigma,
+        peak_loss_weight=args.peak_weight,
+        noise_scale=args.noise,
     )
     t0 = time.time()
     variables, history = train_mod.train_overfit(
