@@ -123,6 +123,54 @@ class PoseEstimator:
         conf = np.concatenate(conf_all)[:N]
         return pts, conf
 
+    def infer_videos(
+        self,
+        folder: str,
+        camera_ids_to_flip: Sequence[int],
+        batch_size: int = 8,
+        num_cameras: int = 7,
+        max_frames: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Streaming decode of camera_{c}.mp4 -> keypoints, no JPEGs on disk.
+
+        The reference must expand videos to JPEG files via ffmpeg
+        subprocesses before inference (reference core.py:446-459); this path
+        streams frames straight from the demuxer (native libav when built,
+        OpenCV otherwise) into the device pipeline.
+        """
+        from deepfly3d_tpu.io import native
+
+        flip_set = set(camera_ids_to_flip)
+        per_cam_pts, per_cam_conf = [], []
+        for cam in range(num_cameras):
+            path = os.path.join(folder, f"camera_{cam}.mp4")
+            frames = []
+            if native.available():
+                with native.VideoReader(path) as vr:
+                    for frame in vr:
+                        frames.append(frame)
+                        if max_frames and len(frames) >= max_frames:
+                            break
+            else:
+                import cv2
+
+                cap = cv2.VideoCapture(path)
+                while True:
+                    ok, frame = cap.read()
+                    if not ok or (max_frames and len(frames) >= max_frames):
+                        break
+                    frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+                cap.release()
+            images = np.stack(frames)
+            flip = np.full(len(frames), cam in flip_set)
+            pts, conf = self.infer_images(images, flip, batch_size=batch_size)
+            per_cam_pts.append(pts)
+            per_cam_conf.append(conf)
+        T = min(p.shape[0] for p in per_cam_pts)
+        pts = np.stack([p[:T] for p in per_cam_pts]).astype(np.float64)
+        conf = np.stack([c[:T] for c in per_cam_conf]).astype(np.float64)
+        return pts, conf
+
     def infer_folder(
         self,
         folder: str,

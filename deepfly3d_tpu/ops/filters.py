@@ -163,6 +163,71 @@ def filter_batch_2d(
     return out
 
 
+# -------------------------------------------------- stateful API-parity shims
+
+
+class LowPassFilter:
+    """Stateful exponential filter (reference signal_util.py:5-28 contract)."""
+
+    def __init__(self, alpha: float):
+        self._set_alpha(alpha)
+        self._y = self._s = None
+
+    def _set_alpha(self, alpha: float):
+        alpha = float(alpha)
+        if not 0.0 < alpha <= 1.0:
+            raise ValueError(f"alpha ({alpha}) should be in (0.0, 1.0]")
+        self._alpha = alpha
+
+    def __call__(self, value, timestamp=None, alpha=None):
+        if alpha is not None:
+            self._set_alpha(alpha)
+        s = value if self._y is None else (
+            self._alpha * value + (1.0 - self._alpha) * self._s
+        )
+        self._y = value
+        self._s = s
+        return s
+
+    def lastValue(self):
+        return self._y
+
+
+class OneEuroFilter:
+    """Stateful one-sample-at-a-time One-Euro filter.
+
+    Same call contract as the reference class (signal_util.py:31-66); the
+    batch path (`filter_batch`) uses the associative-scan formulation and
+    matches this recursion exactly.
+    """
+
+    def __init__(self, freq, mincutoff=1.0, beta=0.0, dcutoff=1.0):
+        if freq <= 0 or mincutoff <= 0 or dcutoff <= 0:
+            raise ValueError("freq, mincutoff and dcutoff must be > 0")
+        self._freq = float(freq)
+        self._mincutoff = float(mincutoff)
+        self._beta = float(beta)
+        self._dcutoff = float(dcutoff)
+        self._x = LowPassFilter(self._alpha_for(self._mincutoff))
+        self._dx = LowPassFilter(self._alpha_for(self._dcutoff))
+        self._lasttime = None
+
+    def _alpha_for(self, cutoff):
+        tau = 1.0 / (2 * math.pi * cutoff)
+        te = 1.0 / self._freq
+        return 1.0 / (1.0 + tau / te)
+
+    def __call__(self, x, timestamp=None):
+        if self._lasttime and timestamp:
+            self._freq = 1.0 / (timestamp - self._lasttime)
+        self._lasttime = timestamp
+        prev_x = self._x.lastValue()
+        dx = 0.0 if prev_x is None else (x - prev_x) * self._freq
+        edx = self._dx(dx, timestamp, alpha=self._alpha_for(self._dcutoff))
+        cutoff = self._mincutoff + self._beta * abs(edx)
+        return self._x(x, timestamp, alpha=self._alpha_for(cutoff))
+
+
 # ------------------------------------------------------- adaptive 2D smoother
 
 

@@ -1,0 +1,115 @@
+"""Generalization profile (H3.6M-style 4-camera human) and config tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepfly3d_tpu.config import Config, fly_config, h36m_config
+from deepfly3d_tpu.models.hourglass import HourglassNet, HourglassSpec, init_params
+from deepfly3d_tpu.ops import filters
+from deepfly3d_tpu.skeletons import fly
+
+
+class TestFlyConfig:
+    def test_defaults(self):
+        cfg = fly_config()
+        assert cfg.num_cameras == 7
+        assert cfg.num_joints == 38
+        assert cfg.network.num_predict == 19
+        assert cfg.heatmap_shape == (64, 128)
+
+    def test_dict_view_keys(self):
+        d = fly_config().as_dict()
+        for key in (
+            "num_cameras", "heatmap_shape", "skeleton", "bones", "bone_param",
+            "num_joints", "num_stacks", "flip_cameras", "num_predict",
+            "reproj_thr", "calib_rough", "num_peak", "alpha_reproj",
+            "alpha_heatmap", "alpha_bone", "procrustes_apply",
+        ):
+            assert key in d, key
+
+    def test_visibility_matrix_semantics(self):
+        """Spot checks against the reference predicate semantics
+        (reference skeleton_fly.py:233-249)."""
+        s = fly.skeleton
+        # cam 0 sees left legs, not right
+        assert s.camera_see_joint(0, 0) and not s.camera_see_joint(0, 19)
+        # cams 2 and 4 cannot see stripes
+        assert not s.camera_see_joint(2, 16)
+        assert not s.camera_see_joint(4, 35)
+        # cam 3 (middle) sees no body_coxa/coxa_femur
+        assert not s.camera_see_joint(3, 0)
+        assert not s.camera_see_joint(3, 1)
+        assert s.camera_see_joint(3, 2)
+        # cam 7 aliases cam 3
+        assert s.camera_see_joint(7, 2) == s.camera_see_joint(3, 2)
+
+    def test_bone_priors(self):
+        s = fly.skeleton
+        # BODY_COXA / STRIPE / ANTENNA have no bone prior (std 10000)
+        assert s.bone_param[0, 1] == 10000
+        assert s.bone_param[15, 1] == 10000
+        assert s.bone_param[16, 1] == 10000
+        assert s.bone_param[2, 1] == 0.3
+
+    def test_zorder(self):
+        s = fly.skeleton
+        assert s.get_zorder(0).shape == (38,)
+        assert s.get_zorder(5).shape == (38,)
+
+
+class TestH36MProfile:
+    def test_config(self):
+        cfg = h36m_config()
+        assert cfg.num_cameras == 4
+        assert cfg.num_joints == 17
+        assert cfg.network.num_stacks == 4
+        assert cfg.network.heatmap_shape == (64, 64)
+
+    def test_forward_and_train_step(self):
+        """The deeper human profile trains end-to-end (tiny shapes)."""
+        import optax
+
+        from deepfly3d_tpu.models.train import make_train_epoch
+
+        spec = HourglassSpec(
+            num_stacks=2, features=16, depth=2, num_classes=17
+        )
+        variables = init_params(spec, (64, 64), jax.random.PRNGKey(0))
+        out = HourglassNet(spec).apply(
+            variables, jnp.zeros((2, 64, 64, 3)), train=False
+        )
+        assert out.shape == (2, 2, 16, 16, 17)
+
+        tx = optax.adam(1e-3)
+        epoch = make_train_epoch(spec, tx, steps_per_call=2, batch_size=2)
+        params, stats = variables["params"], variables["batch_stats"]
+        opt = tx.init(params)
+        images = jnp.zeros((4, 64, 64, 3))
+        targets = jnp.zeros((4, 16, 16, 17))
+        cells = jnp.zeros((4, 17, 2), jnp.int32)
+        peaks = jnp.zeros((4, 17), jnp.float32)
+        params, stats, opt, loss, *_ = epoch(
+            params, stats, opt, jax.random.PRNGKey(1),
+            images, targets, cells, peaks,
+        )
+        assert np.isfinite(float(loss))
+
+
+class TestFilterShims:
+    def test_one_euro_class_matches_batch(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=30).cumsum()
+        f = filters.OneEuroFilter(freq=100, mincutoff=0.1, beta=2.0, dcutoff=1.0)
+        seq = np.array([f(v, (i + 1) * 0.1) for i, v in enumerate(x)])
+        batch = filters.filter_batch(
+            np.repeat(x[:, None, None], 3, axis=2)
+        )[:, 0, 0]
+        np.testing.assert_allclose(seq, batch, rtol=1e-12)
+
+    def test_lowpass_validation(self):
+        with pytest.raises(ValueError):
+            filters.LowPassFilter(0.0)
+        with pytest.raises(ValueError):
+            filters.OneEuroFilter(freq=-1)
