@@ -24,9 +24,19 @@ __version__ = "0.1.0"
 # Enable x64 before any array is created. Parity-critical geometry
 # (triangulation/bundle-adjust/procrustes) needs float64; model code uses
 # explicit f32/bf16 dtypes so the TPU hot path is unaffected.
-if os.environ.get("DF3D_TPU_DISABLE_X64", "0") != "1":
-    import jax
+import jax
 
+if os.environ.get("DF3D_TPU_DISABLE_X64", "0") != "1":
     jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: first hourglass compiles are minutes-long on
+# this host; subsequent processes reuse them.
+if os.environ.get("DF3D_TPU_DISABLE_COMPILE_CACHE", "0") != "1":
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("DF3D_TPU_COMPILE_CACHE", "/tmp/jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from deepfly3d_tpu.config import Config, fly_config  # noqa: E402,F401

@@ -174,6 +174,37 @@ class Core:
             return find_default_camera_ordering(self._input_folder)
         return np.array(list(camera_ordering))
 
+    def update_camera_ordering(self, ordering) -> bool:
+        """Replace the camera ordering; returns False on invalid input.
+
+        Working version of the hook the reference GUI calls but never
+        implemented (reference gui.py:199-207 -> missing Core method).
+        """
+        if ordering is None:
+            return False
+        ordering = np.asarray(list(ordering))
+        if sorted(ordering.tolist()) != list(range(self.config.num_cameras)):
+            return False
+        self.camera_ordering = ordering
+        self._invalidate_downstream()
+        return True
+
+    def check_cameras(self):
+        """Assert every camera contributed 2D observations.
+
+        Working version of the reference's broken method (core.py:477-479
+        references an undefined attribute).  The middle camera is exempt:
+        the postprocess discards its predictions by design (core.py:190-191).
+        """
+        assert self.points2d is not None, "Run pose estimation first."
+        middle = self.camera_ordering[3]
+        missing = [
+            cam
+            for cam in range(self.config.num_cameras)
+            if cam != middle and not np.any(self.points2d[cam])
+        ]
+        assert not missing, f"Some cameras are missing: {missing}"
+
     # ------------------------------------------------------------ pipeline
 
     def pose2d_estimation(

@@ -41,6 +41,7 @@ class HourglassSpec:
     num_classes: int = 19       # output heatmap channels
     expansion: int = 2          # bottleneck output = mid * expansion
     compute_dtype: Any = jnp.float32
+    bn_momentum: float = 0.99   # batch-stat EMA; 0.0 = adopt batch stats
 
 
 class Bottleneck(nn.Module):
@@ -48,13 +49,19 @@ class Bottleneck(nn.Module):
 
     features: int               # output channels
     dtype: Any = jnp.float32
+    momentum: float = 0.99
+
+    def _bn(self, name, train):
+        return nn.BatchNorm(
+            use_running_average=not train, dtype=self.dtype,
+            momentum=self.momentum, name=name,
+        )
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         mid = self.features // 2
         residual = x
-        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
-                         name="bn1")(x)
+        y = self._bn("bn1", train)(x)
         y = nn.relu(y)
         # project the skip from the post-activation tensor when widths differ
         if x.shape[-1] != self.features:
@@ -62,13 +69,11 @@ class Bottleneck(nn.Module):
                                dtype=self.dtype, name="proj")(y)
         y = nn.Conv(mid, (1, 1), use_bias=True, dtype=self.dtype,
                     name="conv1")(y)
-        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
-                         name="bn2")(y)
+        y = self._bn("bn2", train)(y)
         y = nn.relu(y)
         y = nn.Conv(mid, (3, 3), padding=1, use_bias=True, dtype=self.dtype,
                     name="conv2")(y)
-        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
-                         name="bn3")(y)
+        y = self._bn("bn3", train)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (1, 1), use_bias=True, dtype=self.dtype,
                     name="conv3")(y)
@@ -90,12 +95,14 @@ class Hourglass(nn.Module):
     depth: int
     num_blocks: int
     dtype: Any = jnp.float32
+    momentum: float = 0.99
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         def blocks(y, name):
             for i in range(self.num_blocks):
                 y = Bottleneck(self.features, dtype=self.dtype,
+                               momentum=self.momentum,
                                name=f"{name}{i}")(y, train)
             return y
 
@@ -126,28 +133,33 @@ class HourglassNet(nn.Module):
     def __call__(self, x, train: bool = False):
         s = self.spec
         dt = s.compute_dtype
+        mom = s.bn_momentum
         x = x.astype(dt)
 
         # stem: /2 conv, residual, /2 pool, residuals -> features @ H/4
         y = nn.Conv(s.features // 2, (7, 7), strides=(2, 2), padding=3,
                     use_bias=True, dtype=dt, name="stem_conv")(x)
         y = nn.BatchNorm(use_running_average=not train, dtype=dt,
-                         name="stem_bn")(y)
+                         momentum=mom, name="stem_bn")(y)
         y = nn.relu(y)
-        y = Bottleneck(s.features, dtype=dt, name="stem_res1")(y, train)
+        y = Bottleneck(s.features, dtype=dt, momentum=mom,
+                       name="stem_res1")(y, train)
         y = nn.max_pool(y, (2, 2), strides=(2, 2))
-        y = Bottleneck(s.features, dtype=dt, name="stem_res2")(y, train)
-        y = Bottleneck(s.features, dtype=dt, name="stem_res3")(y, train)
+        y = Bottleneck(s.features, dtype=dt, momentum=mom,
+                       name="stem_res2")(y, train)
+        y = Bottleneck(s.features, dtype=dt, momentum=mom,
+                       name="stem_res3")(y, train)
 
         outputs = []
         for i in range(s.num_stacks):
             hg = Hourglass(s.features, s.depth, s.num_blocks, dtype=dt,
-                           name=f"hg{i}")(y, train)
-            f = Bottleneck(s.features, dtype=dt, name=f"feat_res{i}")(hg, train)
+                           momentum=mom, name=f"hg{i}")(y, train)
+            f = Bottleneck(s.features, dtype=dt, momentum=mom,
+                           name=f"feat_res{i}")(hg, train)
             f = nn.Conv(s.features, (1, 1), use_bias=True, dtype=dt,
                         name=f"feat_conv{i}")(f)
             f = nn.BatchNorm(use_running_average=not train, dtype=dt,
-                             name=f"feat_bn{i}")(f)
+                             momentum=mom, name=f"feat_bn{i}")(f)
             f = nn.relu(f)
             score = nn.Conv(s.num_classes, (1, 1), use_bias=True,
                             dtype=jnp.float32, name=f"score{i}")(
@@ -190,6 +202,7 @@ def save_weights(path: str, variables, spec: HourglassSpec) -> None:
         "__spec__/num_blocks": spec.num_blocks,
         "__spec__/num_classes": spec.num_classes,
         "__spec__/expansion": spec.expansion,
+        "__spec__/bn_momentum": float(spec.bn_momentum),
     }
     np.savez(path, **arrays, **{k: np.asarray(v) for k, v in meta.items()})
 
@@ -204,7 +217,11 @@ def load_weights(path: str):
     arrays = {}
     for k in data.files:
         if k.startswith("__spec__/"):
-            spec_kwargs[k.split("/", 1)[1]] = int(data[k])
+            field = k.split("/", 1)[1]
+            value = data[k].item()
+            spec_kwargs[field] = (
+                float(value) if field == "bn_momentum" else int(value)
+            )
         else:
             arrays[k] = jnp.asarray(data[k])
     spec = HourglassSpec(**spec_kwargs)

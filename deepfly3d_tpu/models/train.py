@@ -99,6 +99,24 @@ def golden_training_targets(
     return coords, peaks, known
 
 
+# --------------------------------------------------------- BN recalibration
+
+
+def recalibrate_batch_stats(variables, spec: HourglassSpec, images_f32):
+    """Replace EMA batch-norm statistics with exact full-dataset statistics.
+
+    One momentum-0 training-mode pass over the whole (device-resident)
+    dataset; closes the train/eval BN gap that otherwise caps golden-parity
+    accuracy after heavy overfitting.
+    """
+    spec0 = dataclasses.replace(spec, bn_momentum=0.0)
+    model = HourglassNet(spec0)
+    _, updates = model.apply(
+        variables, jnp.asarray(images_f32), train=True, mutable=["batch_stats"]
+    )
+    return {"params": variables["params"], "batch_stats": updates["batch_stats"]}
+
+
 # ------------------------------------------------------------------ trainer
 
 

@@ -169,3 +169,22 @@ class TestPoseEstimation:
         np.testing.assert_allclose(
             saved["points2d"], golden_2d["points2d"], atol=0.02
         )
+
+
+class TestOrderingAndChecks:
+    def test_update_camera_ordering(self, working_images):
+        core = _make_core(working_images)
+        assert core.update_camera_ordering([6, 5, 4, 3, 2, 1, 0])
+        assert list(core.camera_ordering) == [6, 5, 4, 3, 2, 1, 0]
+        assert not core.update_camera_ordering([0, 0, 1, 2, 3, 4, 5])
+        assert not core.update_camera_ordering(None)
+
+    def test_check_cameras(self, working_images, golden_2d):
+        core = _make_core(working_images)
+        core.points2d = golden_2d["points2d"].copy()
+        core.check_cameras()  # middle camera exempt, others populated
+        core.points2d[0] = 0
+        import pytest as _pytest
+
+        with _pytest.raises(AssertionError, match="missing"):
+            core.check_cameras()
