@@ -1,0 +1,61 @@
+"""Inference plumbing tests with a tiny random model (CPU).
+
+Covers folder enumeration, batching/padding, flip handling, and the
+streaming-video path — independent of trained weights.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from deepfly3d_tpu.models.hourglass import HourglassSpec, init_params, save_weights
+from deepfly3d_tpu.models.inference import PoseEstimator
+
+TINY = HourglassSpec(num_stacks=1, features=16, depth=2, num_blocks=1, num_classes=19)
+
+
+@pytest.fixture(scope="module")
+def tiny_checkpoint(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("w") / "tiny.npz")
+    variables = init_params(TINY, (64, 128), jax.random.PRNGKey(0))
+    save_weights(path, variables, TINY)
+    return path
+
+
+def test_infer_folder_shapes(tiny_checkpoint, working_images):
+    est = PoseEstimator(tiny_checkpoint, input_shape=(64, 128))
+    pts, conf = est.infer_folder(
+        working_images, camera_ids_to_flip=[4, 5, 6], max_img_id=2, batch_size=4
+    )
+    assert pts.shape == (7, 3, 19, 2)
+    assert conf.shape == (7, 3, 19, 1)
+    assert pts.dtype == np.float64
+    assert (pts >= 0).all() and (pts <= 1).all()
+
+
+def test_batch_padding_consistency(tiny_checkpoint, working_images):
+    """Results must not depend on the batch size (incl. ragged last batch)."""
+    est = PoseEstimator(tiny_checkpoint, input_shape=(64, 128))
+    a = est.infer_folder(working_images, [4, 5, 6], max_img_id=1, batch_size=3)
+    b = est.infer_folder(working_images, [4, 5, 6], max_img_id=1, batch_size=14)
+    np.testing.assert_allclose(a[0], b[0], atol=1e-6)
+    np.testing.assert_allclose(a[1], b[1], atol=1e-5)
+
+
+def test_flip_changes_result(tiny_checkpoint, working_images):
+    est = PoseEstimator(tiny_checkpoint, input_shape=(64, 128))
+    no_flip, _ = est.infer_folder(working_images, [], max_img_id=0, batch_size=7)
+    flipped, _ = est.infer_folder(
+        working_images, [0, 1, 2, 3, 4, 5, 6], max_img_id=0, batch_size=7
+    )
+    assert not np.allclose(no_flip, flipped)
+
+
+def test_infer_videos_streaming(tiny_checkpoint, working_videos):
+    est = PoseEstimator(tiny_checkpoint, input_shape=(64, 128))
+    pts, conf = est.infer_videos(
+        working_videos, camera_ids_to_flip=[4, 5, 6], batch_size=8, max_frames=3
+    )
+    assert pts.shape == (7, 3, 19, 2)
+    assert conf.shape == (7, 3, 19, 1)
