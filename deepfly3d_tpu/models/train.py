@@ -157,19 +157,24 @@ def make_train_epoch(
             train=True,
             mutable=["batch_stats"],
         )  # (S, N, H, W, K)
-        mse = jnp.mean((heatmaps - targets[None]) ** 2)
-        # explicit supervision of the peak amplitude at the target cell
+        # peak-weighted MSE: plain MSE under-penalizes stray blobs at wrong
+        # limbs (tiny area vs the background) — upweight the target blob
+        w = 1.0 + 20.0 * targets[None]
+        mse = jnp.mean(w * (heatmaps - targets[None]) ** 2)
+
         last = heatmaps[-1]
         N, H, W, K = last.shape
         n_idx = jnp.arange(N)[:, None]
         k_idx = jnp.arange(K)[None, :]
-        pred_peak = last[n_idx, peak_cells[..., 0], peak_cells[..., 1], k_idx]
-        peak_err = jnp.mean((pred_peak - peak_vals) ** 2)
-        return mse + peak_err * peak_loss_weight, (
-            updates["batch_stats"],
-            mse,
-            peak_err,
-        )
+        pred_cell = last[n_idx, peak_cells[..., 0], peak_cells[..., 1], k_idx]
+        pred_max = jnp.max(last, axis=(1, 2))          # (N, K)
+        # the decode contract is an argmax: (a) the target cell's value must
+        # equal the golden confidence, (b) the target cell must BE the
+        # global max — (pred_max - pred_cell) >= 0 with equality iff so.
+        peak_err = jnp.mean((pred_cell - peak_vals) ** 2)
+        dominance = jnp.mean(pred_max - pred_cell)
+        loss = mse + peak_loss_weight * peak_err + 10.0 * dominance
+        return loss, (updates["batch_stats"], mse, peak_err)
 
     def one_step(carry, rng):
         params, batch_stats, opt_state, images, targets, cells, peaks = carry
