@@ -33,8 +33,10 @@ def decode_argmax(heatmaps: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     flat = hm.transpose(0, 3, 1, 2).reshape(N, K, H * W)
     idx = jnp.argmax(flat, axis=-1)
     conf = jnp.max(flat, axis=-1, keepdims=True)
-    row = (idx // W).astype(jnp.float64) / H
-    col = (idx % W).astype(jnp.float64) / W
+    # f32 is exact here: heatmap shapes are powers of two, so cell ratios
+    # idx/H, idx/W have exact f32 representations (and TPUs have no f64)
+    row = (idx // W).astype(jnp.float32) / H
+    col = (idx % W).astype(jnp.float32) / W
     return jnp.stack([row, col], axis=-1), conf
 
 

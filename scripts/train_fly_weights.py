@@ -130,6 +130,12 @@ def main():
     print("saved:", args.out, flush=True)
     ok = final["pts_maxerr"] < 0.02 and final["conf_maxerr"] < 0.002
     print("PARITY:", "PASS" if ok else "FAIL", flush=True)
+    marker = args.out + ".PARITY"
+    if ok:
+        with open(marker, "w") as f:
+            f.write(str(final))
+    elif os.path.exists(marker):
+        os.remove(marker)
     return 0 if ok else 1
 
 

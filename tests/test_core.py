@@ -150,7 +150,10 @@ class TestPlot2D:
         assert (img != raw).any()
 
 
-@pytest.mark.skipif(not os.path.exists(WEIGHTS), reason="weights not trained yet")
+@pytest.mark.skipif(
+    not os.path.exists(WEIGHTS + ".PARITY"),
+    reason="golden-parity weights not trained yet (scripts/train_fly_weights.py)",
+)
 class TestPoseEstimation:
     def test_pose_estimation_golden(self, working_images, golden_2d):
         """Full 2D golden parity (analog of reference test_pose_estimation,
