@@ -221,14 +221,16 @@ def train_overfit(
     cfg: TrainConfig = TrainConfig(),
     eval_fn=None,
     eval_every: int = 500,
+    init_variables=None,
 ):
     """Fit the network to a fixed dataset (resident on device)."""
     rng = jax.random.PRNGKey(cfg.seed)
-    model = HourglassNet(spec)
-    variables = model.init(
-        rng, jnp.zeros((1,) + images_f32.shape[1:], jnp.float32), train=False
-    )
-    params, batch_stats = variables["params"], variables["batch_stats"]
+    if init_variables is None:
+        model = HourglassNet(spec)
+        init_variables = model.init(
+            rng, jnp.zeros((1,) + images_f32.shape[1:], jnp.float32), train=False
+        )
+    params, batch_stats = init_variables["params"], init_variables["batch_stats"]
 
     warmup = min(cfg.warmup, max(cfg.steps // 4, 1))
     schedule = optax.warmup_cosine_decay_schedule(

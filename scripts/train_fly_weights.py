@@ -49,6 +49,8 @@ def main():
     ap.add_argument("--peak-weight", type=float, default=100.0)
     ap.add_argument("--noise", type=float, default=0.008)
     ap.add_argument("--out", default=OUT)
+    ap.add_argument("--resume", action="store_true",
+                    help="fine-tune from the existing checkpoint")
     args = ap.parse_args()
 
     print("devices:", jax.devices(), flush=True)
@@ -91,7 +93,16 @@ def main():
     )
 
     # ---------------- eval: full pipeline vs golden
-    spec = HourglassSpec(num_stacks=2, features=args.features, num_classes=19)
+    init_variables = None
+    if args.resume and os.path.exists(args.out):
+        from deepfly3d_tpu.models.hourglass import load_weights
+
+        init_variables, spec = load_weights(args.out)
+        print(f"resuming from {args.out} (features={spec.features})", flush=True)
+    else:
+        spec = HourglassSpec(
+            num_stacks=2, features=args.features, num_classes=19
+        )
     golden_p2 = golden["points2d"]
     golden_conf = golden["heatmap_confidence"]
 
@@ -118,7 +129,7 @@ def main():
     t0 = time.time()
     variables, history = train_mod.train_overfit(
         images, targets, peak_cells, peaks, spec, cfg,
-        eval_fn=eval_fn, eval_every=500,
+        eval_fn=eval_fn, eval_every=500, init_variables=init_variables,
     )
     print(f"training took {time.time()-t0:.1f}s", flush=True)
 

@@ -191,3 +191,19 @@ class TestOrderingAndChecks:
 
         with _pytest.raises(AssertionError, match="missing"):
             core.check_cameras()
+
+
+@pytest.mark.skipif(
+    not os.path.exists(WEIGHTS + ".PARITY"),
+    reason="golden-parity weights not trained yet",
+)
+class TestPoseEstimationRobustness:
+    def test_pose_estimation_from_reencoded_videos(self, working_videos, golden_2d):
+        """The reference's CLI test runs on video-expanded (re-encoded) JPEGs
+        (reference tests/test_df3d.py:330-364) — predictions must stay within
+        tolerance under that re-compression."""
+        core = _make_core(working_videos)   # expands mp4 -> jpg on init
+        core.pose2d_estimation()
+        np.testing.assert_allclose(
+            core.points2d, golden_2d["points2d"], atol=0.02
+        )
