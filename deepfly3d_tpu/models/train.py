@@ -130,6 +130,7 @@ class TrainConfig:
     warmup: int = 200
     seed: int = 0
     noise_scale: float = 0.0   # uniform pixel jitter (input units, ~1/255)
+    freeze_bn: bool = False    # train against inference-time BN statistics
 
 
 def make_train_epoch(
@@ -139,6 +140,7 @@ def make_train_epoch(
     steps_per_call: int = 100,
     batch_size: int = 16,
     noise_scale: float = 0.0,
+    freeze_bn: bool = False,
 ):
     """Build a jitted multi-step trainer: ``lax.scan`` over `steps_per_call`
     optimizer steps with on-device batch sampling.
@@ -151,12 +153,23 @@ def make_train_epoch(
     model = HourglassNet(spec)
 
     def loss_fn(params, batch_stats, images, targets, peak_cells, peak_vals):
-        heatmaps, updates = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            images,
-            train=True,
-            mutable=["batch_stats"],
-        )  # (S, N, H, W, K)
+        if freeze_bn:
+            # normalize with the fixed statistics used at inference time —
+            # train and eval become the same function, eliminating the
+            # batch-vs-running-stats gap in the final parity fine-tune
+            heatmaps = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                images,
+                train=False,
+            )
+            updates = {"batch_stats": batch_stats}
+        else:
+            heatmaps, updates = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                images,
+                train=True,
+                mutable=["batch_stats"],
+            )  # (S, N, H, W, K)
         # peak-weighted MSE: plain MSE under-penalizes stray blobs at wrong
         # limbs (tiny area vs the background) — upweight the target blob
         w = 1.0 + 20.0 * targets[None]
@@ -242,7 +255,7 @@ def train_overfit(
     steps_per_call = min(eval_every, cfg.steps)
     train_epoch = make_train_epoch(
         spec, tx, cfg.peak_loss_weight, steps_per_call, cfg.batch_size,
-        cfg.noise_scale,
+        cfg.noise_scale, cfg.freeze_bn,
     )
 
     images_d = jnp.asarray(images_f32)

@@ -49,6 +49,8 @@ def main():
     ap.add_argument("--peak-weight", type=float, default=100.0)
     ap.add_argument("--noise", type=float, default=0.008)
     ap.add_argument("--out", default=OUT)
+    ap.add_argument("--freeze-bn", action="store_true",
+                    help="train against inference-time BN statistics")
     ap.add_argument("--resume", action="store_true",
                     help="fine-tune from the existing checkpoint")
     args = ap.parse_args()
@@ -125,6 +127,7 @@ def main():
         sigma=args.sigma,
         peak_loss_weight=args.peak_weight,
         noise_scale=args.noise,
+        freeze_bn=args.freeze_bn,
     )
     t0 = time.time()
     variables, history = train_mod.train_overfit(
@@ -134,7 +137,8 @@ def main():
     print(f"training took {time.time()-t0:.1f}s", flush=True)
 
     # exact full-data BN statistics close the train/eval gap
-    variables = train_mod.recalibrate_batch_stats(variables, spec, images)
+    if not args.freeze_bn:
+        variables = train_mod.recalibrate_batch_stats(variables, spec, images)
     final = eval_fn(variables)
     print("final (after BN recalibration):", final, flush=True)
     save_weights(args.out, variables, spec)
