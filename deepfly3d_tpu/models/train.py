@@ -185,8 +185,15 @@ def make_train_epoch(
         # equal the golden confidence, (b) the target cell must BE the
         # global max — (pred_max - pred_cell) >= 0 with equality iff so.
         peak_err = jnp.mean((pred_cell - peak_vals) ** 2)
+        # the decode contract is on the global max itself — supervise it too
+        # (pulls down neighbor pixels that edge past the target cell)
+        max_err = jnp.mean((pred_max - peak_vals) ** 2)
         dominance = jnp.mean(pred_max - pred_cell)
-        loss = mse + peak_loss_weight * peak_err + 10.0 * dominance
+        loss = (
+            mse
+            + peak_loss_weight * (peak_err + max_err)
+            + 10.0 * dominance
+        )
         return loss, (updates["batch_stats"], mse, peak_err)
 
     def one_step(carry, rng):
@@ -235,6 +242,7 @@ def train_overfit(
     eval_fn=None,
     eval_every: int = 500,
     init_variables=None,
+    keep_best: Optional[str] = None,   # eval metric to minimize
 ):
     """Fit the network to a fixed dataset (resident on device)."""
     rng = jax.random.PRNGKey(cfg.seed)
@@ -266,6 +274,8 @@ def train_overfit(
     key = rng
     history = []
     step = 0
+    best = None
+    best_vars = None
     while step < cfg.steps:
         key, sub = jax.random.split(key)
         params, batch_stats, opt_state, loss, mse, peak_err = train_epoch(
@@ -281,6 +291,13 @@ def train_overfit(
         }
         if eval_fn is not None:
             rec.update(eval_fn({"params": params, "batch_stats": batch_stats}))
+            if keep_best is not None and (
+                best is None or rec[keep_best] < best
+            ):
+                best = rec[keep_best]
+                best_vars = {"params": params, "batch_stats": batch_stats}
         history.append(rec)
         print(rec, flush=True)
+    if best_vars is not None:
+        return best_vars, history
     return {"params": params, "batch_stats": batch_stats}, history

@@ -133,6 +133,7 @@ def main():
     variables, history = train_mod.train_overfit(
         images, targets, peak_cells, peaks, spec, cfg,
         eval_fn=eval_fn, eval_every=500, init_variables=init_variables,
+        keep_best="conf_maxerr" if args.freeze_bn else None,
     )
     print(f"training took {time.time()-t0:.1f}s", flush=True)
 
