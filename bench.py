@@ -91,6 +91,7 @@ def build_pipeline(spec, variables, calib, camera_ordering, compute_dtype):
         pts3d = geometry.triangulate(
             p38, jnp.asarray(R, jnp.float32), jnp.asarray(tvec, jnp.float32),
             jnp.asarray(intr, jnp.float32), (IMAGE_W, IMAGE_H),
+            method="eigh",   # cheap 4x4 eigendecomposition (f32 production)
         )
         return pts3d
 
@@ -127,18 +128,23 @@ def main():
         spec, variables, calib, np.arange(NUM_CAMERAS), jnp.float32
     )
 
-    T = 16  # timesteps per step -> batch of 112 images
-    rng = np.random.default_rng(0)
-    frames = jnp.asarray(
-        rng.integers(0, 255, size=(T, NUM_CAMERAS, IMAGE_H, IMAGE_W, 3)),
-        jnp.uint8,
-    )
+    T = int(os.environ.get("DF3D_BENCH_T", "64"))  # timesteps per dispatch
+    # Generate the frame batch ON DEVICE: the metric is pipeline throughput;
+    # uploading ~600MB of random bytes through the axon tunnel would only
+    # measure the tunnel.  (Production ingest overlaps H2D with compute via
+    # the prefetch ring in deepfly3d_tpu/io/ingest.py.)
+    frames = jax.jit(
+        lambda key: jax.random.randint(
+            key, (T, NUM_CAMERAS, IMAGE_H, IMAGE_W, 3), 0, 255, jnp.uint8
+        )
+    )(jax.random.PRNGKey(0))
+    jax.block_until_ready(frames)
 
     # warmup / compile
     out = pipeline(frames)
     jax.block_until_ready(out)
 
-    iters = 10
+    iters = int(os.environ.get("DF3D_BENCH_ITERS", "6"))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = pipeline(frames)

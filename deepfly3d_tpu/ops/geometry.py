@@ -158,20 +158,30 @@ def projection_matrices(
     return intr @ Rt
 
 
-def _dlt_single(obs_xy: jnp.ndarray, P: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+def _dlt_single(
+    obs_xy: jnp.ndarray, P: jnp.ndarray, mask: jnp.ndarray, method: str = "svd"
+) -> jnp.ndarray:
     """Masked homogeneous DLT for one 3D point.
 
     obs_xy: (C, 2) pixel observations; P: (C, 3, 4); mask: (C,) bool.
     Rows of invisible cameras are zeroed — they contribute nothing to A^T A,
     so the result equals a DLT over only the visible cameras.
+
+    method='svd' (default): smallest right-singular vector — full precision,
+    used by the x64 parity path.  method='eigh': smallest eigenvector of the
+    4x4 normal matrix A^T A — half the significant digits (fine in f32
+    production) but far cheaper than many tiny batched SVDs on TPU.
     """
     m = mask[:, None].astype(obs_xy.dtype)
     rows_x = (obs_xy[:, 0:1] * P[:, 2, :] - P[:, 0, :]) * m
     rows_y = (obs_xy[:, 1:2] * P[:, 2, :] - P[:, 1, :]) * m
     A = jnp.concatenate([rows_x, rows_y], axis=0)  # (2C, 4) x-rows then y-rows
-    # smallest right-singular vector of A == null direction of A^T A
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
-    X = Vt[-1]
+    if method == "eigh":
+        _, vecs = jnp.linalg.eigh(A.T @ A)
+        X = vecs[:, 0]
+    else:
+        _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+        X = Vt[-1]
     point = X[:3] / X[3]
     valid = jnp.sum(mask) >= 2
     return jnp.where(valid, point, jnp.zeros(3, dtype=obs_xy.dtype))
@@ -183,6 +193,7 @@ def triangulate(
     tvec: jnp.ndarray,
     intr: jnp.ndarray,
     image_shape: Tuple[int, int],
+    method: str = "svd",
 ) -> jnp.ndarray:
     """DLT-triangulate every (frame, joint).
 
@@ -198,7 +209,9 @@ def triangulate(
 
     obs_flat = obs.reshape(C, T * J, 2).transpose(1, 0, 2)  # (TJ, C, 2)
     mask_flat = mask.reshape(C, T * J).T  # (TJ, C)
-    pts = jax.vmap(_dlt_single, in_axes=(0, None, 0))(obs_flat, P, mask_flat)
+    pts = jax.vmap(
+        lambda o, m: _dlt_single(o, P, m, method), in_axes=(0, 0)
+    )(obs_flat, mask_flat)
     return pts.reshape(T, J, 3)
 
 

@@ -98,6 +98,22 @@ class TestTriangulationGolden:
             p3, golden_3d["points3d_wo_procrustes"], atol=1e-5
         )
 
+    def test_eigh_method_matches_svd(self, golden_3d):
+        """method='eigh' (4x4 normal-matrix eigendecomposition, the cheap
+        f32 production path used by bench.py) agrees with the full-precision
+        SVD path well inside the fly's working volume (~2-3 mm scale)."""
+        R, tvec, intr, _ = _calib_arrays(golden_3d)
+        args = (
+            jnp.asarray(golden_3d["points2d"]),
+            jnp.asarray(R),
+            jnp.asarray(tvec),
+            jnp.asarray(intr),
+            IMAGE_SHAPE,
+        )
+        p_svd = np.asarray(geometry.triangulate(*args, method="svd"))
+        p_eig = np.asarray(geometry.triangulate(*args, method="eigh"))
+        np.testing.assert_allclose(p_eig, p_svd, atol=1e-4)
+
     def test_observation_mask(self, golden_3d):
         mask = np.asarray(
             geometry.observation_mask(jnp.asarray(golden_3d["points2d"]))
