@@ -41,7 +41,18 @@ WEIGHTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 def build_pipeline(spec, variables, calib, camera_ordering, compute_dtype):
     """One jitted program: (T, C, H, W, 3) uint8 -> points3d (T, J, 3)."""
-    model = HourglassNet(spec)
+    from deepfly3d_tpu.models import fused_inference
+
+    if os.environ.get("DF3D_BENCH_FUSED"):
+        # folded-BN path: measured ~7% SLOWER than the flax graph end-to-end
+        # on v5e (XLA already fuses the BN affines) — kept for comparison
+        folded = fused_inference.fold_hourglass(
+            variables, spec, dtype=spec.compute_dtype
+        )
+        net = lambda x: fused_inference.fused_apply(folded, spec, x)[-1]
+    else:
+        model = HourglassNet(spec)
+        net = lambda x: model.apply(variables, x, train=False)[-1]
     R, tvec, intr, _ = calib
     P = jnp.asarray(
         np.asarray(intr) @ np.concatenate(
@@ -58,17 +69,16 @@ def build_pipeline(spec, variables, calib, camera_ordering, compute_dtype):
     left_cams = jnp.asarray(order[:3])
     right_cams = jnp.asarray(order[4:])
 
+    from deepfly3d_tpu.ops import image as image_ops
+
     @jax.jit
     def pipeline(frames_u8):
         T = frames_u8.shape[0]
         x = frames_u8.reshape(T * NUM_CAMERAS, IMAGE_H, IMAGE_W, 3)
-        x = x.astype(compute_dtype) / 255.0
         flip = jnp.tile(flip_d, T)
-        x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
-        x = jax.image.resize(
-            x, (x.shape[0], INPUT_SHAPE[0], INPUT_SHAPE[1], 3), method="bilinear"
-        )
-        heatmaps = model.apply(variables, x, train=False)[-1]
+        # cast/normalize/resize as two MXU matmuls + low-res flip (ops/image.py)
+        x = image_ops.preprocess_frames(x, flip, INPUT_SHAPE, compute_dtype)
+        heatmaps = net(x)
         # decode: integer argmax, normalized (row, col)
         N, Hh, Ww, K = heatmaps.shape
         flat = heatmaps.transpose(0, 3, 1, 2).reshape(N, K, Hh * Ww)

@@ -30,7 +30,7 @@ from deepfly3d_tpu.models.hourglass import HourglassNet, HourglassSpec, load_wei
 
 @partial(
     jax.jit,
-    static_argnames=("spec", "input_shape", "soft_argmax"),
+    static_argnames=("spec", "input_shape", "soft_argmax", "fused"),
 )
 def infer_batch(
     variables,
@@ -39,21 +39,31 @@ def infer_batch(
     spec: HourglassSpec,
     input_shape: Tuple[int, int],
     soft_argmax: bool = False,
+    fused: bool = False,
 ):
     """uint8 images -> (points2d (N,19,2) normalized (row,col), conf (N,19,1)).
 
     The whole pipeline — normalize, flip, resize, forward, decode — is one
     jitted program: a single H2D transfer of uint8 pixels per batch, no
     intermediate host round-trips.
+
+    ``fused=True`` takes ``variables`` as pre-folded parameters from
+    ``fused_inference.fold_hourglass`` (BN folded into convs — the
+    production throughput path; see docs/ARCHITECTURE.md perf notes).
     """
-    x = images_u8.astype(jnp.float32) / 255.0
-    x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
-    x = jax.image.resize(
-        x, (x.shape[0], input_shape[0], input_shape[1], 3), method="bilinear"
-    )
-    model = HourglassNet(spec)
-    heatmaps = model.apply(variables, x, train=False)  # (S, N, h, w, K)
-    last = heatmaps[-1]
+    from deepfly3d_tpu.ops import image as image_ops
+
+    # cast/normalize/flip/resize as two MXU matmuls (exact vs the naive
+    # cast->flip->jax.image.resize chain; ops/image.py, tests/test_image_ops)
+    x = image_ops.preprocess_frames(images_u8, flip, tuple(input_shape))
+    if fused:
+        from deepfly3d_tpu.models import fused_inference
+
+        last = fused_inference.fused_apply(variables, spec, x)[-1]
+    else:
+        model = HourglassNet(spec)
+        heatmaps = model.apply(variables, x, train=False)  # (S, N, h, w, K)
+        last = heatmaps[-1]
     if soft_argmax:
         return decode_mod.decode_softargmax(last)
     return decode_mod.decode_argmax(last)
@@ -95,10 +105,18 @@ class PoseEstimator:
         checkpoint: str,
         input_shape: Tuple[int, int] = (256, 512),
         soft_argmax: bool = False,
+        fused: bool = False,
     ):
         self.variables, self.spec = load_weights(checkpoint)
         self.input_shape = tuple(input_shape)
         self.soft_argmax = soft_argmax
+        self.fused = fused
+        if fused:
+            from deepfly3d_tpu.models import fused_inference
+
+            self.variables = fused_inference.fold_hourglass(
+                self.variables, self.spec, dtype=jnp.float32
+            )
 
     def infer_images(self, images_u8: np.ndarray, flip: np.ndarray, batch_size: int = 8):
         """(N,H,W,3) uint8 + (N,) flip flags -> (pts (N,19,2), conf (N,19,1))."""
@@ -116,6 +134,7 @@ class PoseEstimator:
                 self.spec,
                 self.input_shape,
                 self.soft_argmax,
+                self.fused,
             )
             pts_all.append(np.asarray(pts))
             conf_all.append(np.asarray(conf))

@@ -1,0 +1,235 @@
+"""Fused inference bottleneck — the hourglass hot kernel.
+
+The stacked hourglass (reference df2d capability, see models/hourglass.py)
+spends its whole forward in ~30 pre-activation bottleneck blocks:
+
+    bn1 -> relu -> conv1(1x1, C->C/2) -> bn2 -> relu ->
+    conv2(3x3, C/2->C/2) -> bn3 -> relu -> conv3(1x1, C/2->C) -> + residual
+
+As separate XLA ops each block makes ~8 HBM round trips over the
+activation tensor.  At inference batch-norm is a per-channel affine, so the
+whole block collapses to three matmuls with folded scales and biases:
+
+    a1 = relu(x * s1 + t1)                      # bn1 fused elementwise
+    a2 = relu(a1 @ W1' + b1')                   # conv1 with bn2 folded in
+    a3 = relu(conv3x3(a2, W2') + b2')           # conv2 with bn3 folded in
+    y  = a3 @ W3 + b3 + residual                # conv3 + skip
+
+This kernel computes the entire chain per image (group) with every
+intermediate resident in VMEM: one HBM read of ``x``, one HBM write of
+``y``.  The 3x3 convolution is nine shifted (M, Cmid) @ (Cmid, Cmid)
+matmuls accumulated in float32 over a zero-padded VMEM scratch, so image
+boundaries get the same zero padding as ``nn.Conv(padding=1)``.
+
+Large images are processed in row chunks *inside* the kernel (the full
+image block is already in VMEM, so chunk halos are free reads — no
+overlapping BlockSpecs needed); small images are packed several per grid
+program to keep the MXU fed.
+
+Weight folding is done once on host by :func:`fold_bottleneck`; numerical
+equivalence with the Flax ``Bottleneck`` is covered by
+tests/test_fused_hourglass.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BN_EPS = 1e-5  # flax.linen.BatchNorm default
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def bn_affine(scale, bias, mean, var, eps: float = _BN_EPS):
+    """BatchNorm at inference is x*s + t; return (s, t) as float32."""
+    s = np.asarray(scale, np.float64) / np.sqrt(np.asarray(var, np.float64) + eps)
+    t = np.asarray(bias, np.float64) - np.asarray(mean, np.float64) * s
+    return s.astype(np.float32), t.astype(np.float32)
+
+
+def fold_bottleneck(params: Dict, stats: Dict, dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+    """Fold the block's three BatchNorms into elementwise/conv parameters.
+
+    ``params``/``stats`` are the Flax collections of one Bottleneck module
+    (keys bn1..bn3, conv1..conv3, optional proj).  Returns arrays shaped for
+    the kernel: s1/t1 (1, Cin); w1 (Cin, Cmid) with bn2 folded; w2
+    (9, Cmid, Cmid) with bn3 folded; w3 (Cmid, Cout); biases (1, C).
+    """
+    s1, t1 = bn_affine(**params["bn1"], **stats["bn1"])
+    s2, t2 = bn_affine(**params["bn2"], **stats["bn2"])
+    s3, t3 = bn_affine(**params["bn3"], **stats["bn3"])
+
+    w1 = np.asarray(params["conv1"]["kernel"], np.float64)[0, 0]     # (Cin, Cmid)
+    b1 = np.asarray(params["conv1"]["bias"], np.float64)
+    w1f = w1 * s2[None, :]
+    b1f = b1 * s2 + t2
+
+    w2 = np.asarray(params["conv2"]["kernel"], np.float64)           # (3,3,Cmid,Cmid)
+    b2 = np.asarray(params["conv2"]["bias"], np.float64)
+    w2f = (w2 * s3[None, None, None, :]).reshape(9, w2.shape[2], w2.shape[3])
+    b2f = b2 * s3 + t3
+
+    w3 = np.asarray(params["conv3"]["kernel"], np.float64)[0, 0]     # (Cmid, Cout)
+    b3 = np.asarray(params["conv3"]["bias"], np.float64)
+
+    out = {
+        "s1": jnp.asarray(s1[None, :], dtype),
+        "t1": jnp.asarray(t1[None, :], dtype),
+        "w1": jnp.asarray(w1f, dtype),
+        "b1": jnp.asarray(b1f[None, :], jnp.float32),
+        "w2": jnp.asarray(w2f, dtype),
+        "b2": jnp.asarray(b2f[None, :], jnp.float32),
+        "w3": jnp.asarray(w3, dtype),
+        "b3": jnp.asarray(b3[None, :], jnp.float32),
+    }
+    if "proj" in params:
+        out["wp"] = jnp.asarray(
+            np.asarray(params["proj"]["kernel"], np.float64)[0, 0], dtype
+        )
+        out["bp"] = jnp.asarray(
+            np.asarray(params["proj"]["bias"], np.float64)[None, :], jnp.float32
+        )
+    return out
+
+
+def _dotf32(a: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """(..., K) @ (K, M) with float32 accumulation on the MXU."""
+    return jax.lax.dot_general(
+        a, w,
+        dimension_numbers=(((a.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _plan(n: int, h: int, w: int) -> Tuple[int, int]:
+    """-> (images per program, chunk rows): keep ~2048 matmul rows live."""
+    rows = h * w
+    if rows >= 2048:
+        hc = max(2048 // w, 1)
+        # chunk rows must tile H exactly (all resolutions here are powers of 2)
+        while h % hc:
+            hc -= 1
+        return 1, hc
+    ipp = max(2048 // rows, 1)
+    while n % ipp:          # grid must tile the batch exactly
+        ipp -= 1
+    return ipp, h
+
+
+def _block_kernel(
+    x_ref, s1_ref, t1_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+    *rest,
+    H: int, W: int, HC: int, cmid: int, has_proj: bool, cdtype,
+):
+    if has_proj:
+        wp_ref, bp_ref, out_ref, a2p_ref = rest
+    else:
+        out_ref, a2p_ref = rest
+    ipp = x_ref.shape[0]
+    s1 = s1_ref[0]
+    t1 = t1_ref[0]
+
+    def a1_rows(r0, r1):
+        x = x_ref[:, r0:r1]
+        return jnp.maximum(x * s1 + t1, 0).astype(cdtype)
+
+    for h0 in range(0, H, HC):
+        h1 = h0 + HC
+        # a2 on the chunk + its one-row halos (image borders are zeros)
+        src0, src1 = max(h0 - 1, 0), min(h1 + 1, H)
+        z1 = _dotf32(a1_rows(src0, src1), w1_ref[:]) + b1_ref[0]
+        a2 = jnp.maximum(z1, 0).astype(cdtype)
+        a2p_ref[...] = jnp.zeros_like(a2p_ref)
+        off = src0 - (h0 - 1)
+        a2p_ref[:, off:off + (src1 - src0), 1:W + 1, :] = a2
+        # 3x3 conv as nine shifted matmuls, f32 accumulation
+        acc = jnp.broadcast_to(b2_ref[0], (ipp, HC, W, cmid)).astype(jnp.float32)
+        for k in range(9):
+            dy, dx = divmod(k, 3)
+            win = a2p_ref[:, dy:dy + HC, dx:dx + W, :]
+            acc = acc + _dotf32(win, w2_ref[k])
+        a3 = jnp.maximum(acc, 0).astype(cdtype)
+        z3 = _dotf32(a3, w3_ref[:]) + b3_ref[0]
+        if has_proj:
+            res = _dotf32(a1_rows(h0, h1), wp_ref[:]) + bp_ref[0]
+        else:
+            res = x_ref[:, h0:h1].astype(jnp.float32)
+        out_ref[:, h0:h1] = (z3 + res).astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def fused_bottleneck(x: jnp.ndarray, folded: Dict[str, jnp.ndarray],
+                     interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Apply one folded bottleneck block to x (N, H, W, Cin) -> (N, H, W, Cout)."""
+    n, h, w, cin = x.shape
+    cmid = folded["w1"].shape[1]
+    cout = folded["w3"].shape[1]
+    has_proj = "wp" in folded
+    ipp, hc = _plan(n, h, w)
+    cdtype = x.dtype
+
+    names = ["s1", "t1", "w1", "b1", "w2", "b2", "w3", "b3"]
+    if has_proj:
+        names += ["wp", "bp"]
+    param_args = [folded[k] for k in names]
+    param_specs = [
+        pl.BlockSpec(folded[k].shape,
+                     (lambda *_, nd=folded[k].ndim: (0,) * nd),
+                     memory_space=pltpu.VMEM)
+        for k in names
+    ]
+
+    kernel = partial(
+        _block_kernel, H=h, W=w, HC=hc, cmid=cmid, has_proj=has_proj,
+        cdtype=cdtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n // ipp,),
+        in_specs=[
+            pl.BlockSpec((ipp, h, w, cin), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *param_specs,
+        ],
+        out_specs=pl.BlockSpec((ipp, h, w, cout), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, cout), cdtype),
+        scratch_shapes=[
+            pltpu.VMEM((ipp, hc + 2, w + 2, cmid), cdtype),
+        ],
+        interpret=_interpret() if interpret is None else interpret,
+    )(x, *param_args)
+
+
+def bottleneck_xla(x: jnp.ndarray, folded: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Plain-XLA oracle for the fused kernel (same folded parameters).
+
+    Also the production path for blocks too large for single-image VMEM
+    residency (the 128x256 stem block).
+    """
+    cdtype = x.dtype
+    a1 = jnp.maximum(x * folded["s1"][0] + folded["t1"][0], 0).astype(cdtype)
+    z1 = _dotf32(a1, folded["w1"]) + folded["b1"][0]
+    a2 = jnp.maximum(z1, 0).astype(cdtype)
+    w2 = folded["w2"].reshape(3, 3, *folded["w2"].shape[1:])
+    z2 = jax.lax.conv_general_dilated(
+        a2, w2, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ) + folded["b2"][0]
+    a3 = jnp.maximum(z2, 0).astype(cdtype)
+    z3 = _dotf32(a3, folded["w3"]) + folded["b3"][0]
+    if "wp" in folded:
+        res = _dotf32(a1, folded["wp"]) + folded["bp"][0]
+    else:
+        res = x.astype(jnp.float32)
+    return (z3 + res).astype(cdtype)

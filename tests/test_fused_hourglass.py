@@ -1,0 +1,115 @@
+"""Fused (folded-BN, Pallas-bottleneck) inference vs the Flax oracle.
+
+The fused path is the production TPU fast path (bench.py); here it runs in
+Pallas interpret mode on CPU and must agree with HourglassNet.apply at
+float32 to tight tolerance — BN folding plus f32-accumulated matmuls are
+algebraically identical to the unfused graph up to rounding.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepfly3d_tpu.models.hourglass import HourglassNet, HourglassSpec, init_params
+from deepfly3d_tpu.models.fused_inference import fold_hourglass, fused_apply
+from deepfly3d_tpu.ops.pallas.bottleneck import (
+    bottleneck_xla,
+    fold_bottleneck,
+    fused_bottleneck,
+)
+
+
+def _random_variables(spec, input_shape, seed=0):
+    variables = init_params(spec, input_shape, jax.random.PRNGKey(seed))
+    # randomize batch stats away from init (mean 0 / var 1) so folding is
+    # actually exercised
+    stats = jax.tree_util.tree_map(
+        lambda a: a + 0.1 * jax.random.normal(jax.random.PRNGKey(7), a.shape),
+        variables["batch_stats"],
+    )
+    stats = jax.tree_util.tree_map(jnp.abs, stats)  # keep var positive
+    return {"params": variables["params"], "batch_stats": stats}
+
+
+class TestFusedBottleneck:
+    @pytest.mark.parametrize("shape,cin", [((3, 16, 32, 32), 32),
+                                           ((2, 8, 16, 32), 16)])
+    def test_kernel_matches_xla_oracle(self, shape, cin):
+        n, h, w, _ = shape
+        spec = HourglassSpec(features=32)
+        model = HourglassNet(spec)
+        # build one Bottleneck's params via a tiny net init, then fold
+        from deepfly3d_tpu.models.hourglass import Bottleneck
+
+        block = Bottleneck(32)
+        x = jax.random.normal(jax.random.PRNGKey(1), (n, h, w, cin), jnp.float32)
+        variables = block.init(jax.random.PRNGKey(2), x, False)
+        stats = jax.tree_util.tree_map(
+            lambda a: jnp.abs(a + 0.3), variables["batch_stats"]
+        )
+        folded = fold_bottleneck(variables["params"], stats, dtype=jnp.float32)
+
+        ref = block.apply(
+            {"params": variables["params"], "batch_stats": stats}, x, False
+        )
+        oracle = bottleneck_xla(x, folded)
+        fused = fused_bottleneck(x, folded)
+        np.testing.assert_allclose(np.asarray(oracle), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(oracle),
+                                   atol=2e-4, rtol=1e-4)
+
+    def test_kernel_chunked_rows(self):
+        """H*W > 2048 exercises the in-kernel row-chunk loop with halos."""
+        from deepfly3d_tpu.models.hourglass import Bottleneck
+
+        block = Bottleneck(32)
+        x = jax.random.normal(jax.random.PRNGKey(3), (1, 64, 64, 32), jnp.float32)
+        variables = block.init(jax.random.PRNGKey(4), x, False)
+        folded = fold_bottleneck(
+            variables["params"], variables["batch_stats"], dtype=jnp.float32
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused_bottleneck(x, folded)),
+            np.asarray(bottleneck_xla(x, folded)),
+            atol=2e-4, rtol=1e-4,
+        )
+
+
+class TestFusedNet:
+    def test_full_net_matches_flax(self):
+        spec = HourglassSpec(num_stacks=2, features=32, depth=3, num_classes=5)
+        input_shape = (64, 128)
+        variables = _random_variables(spec, input_shape)
+        model = HourglassNet(spec)
+        x = jax.random.uniform(
+            jax.random.PRNGKey(5), (2,) + input_shape + (3,), jnp.float32
+        )
+        ref = model.apply(variables, x, train=False)
+        folded = fold_hourglass(variables, spec, dtype=jnp.float32)
+        out = fused_apply(folded, spec, x)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-4, rtol=1e-3)
+
+    def test_decode_equivalence_production_size(self):
+        """Flagship spec at the real input size: the decoded keypoints —
+        the actual product contract — must agree between paths."""
+        from deepfly3d_tpu.models import decode as decode_mod
+
+        spec = HourglassSpec(num_stacks=2, features=64, num_classes=19)
+        input_shape = (256, 512)
+        variables = _random_variables(spec, input_shape, seed=11)
+        model = HourglassNet(spec)
+        x = jax.random.uniform(
+            jax.random.PRNGKey(6), (1,) + input_shape + (3,), jnp.float32
+        )
+        ref = model.apply(variables, x, train=False)[-1]
+        folded = fold_hourglass(variables, spec, dtype=jnp.float32)
+        out = fused_apply(folded, spec, x)[-1]
+        pts_ref, conf_ref = decode_mod.decode_argmax(ref)
+        pts, conf = decode_mod.decode_argmax(out)
+        np.testing.assert_array_equal(np.asarray(pts), np.asarray(pts_ref))
+        np.testing.assert_allclose(np.asarray(conf), np.asarray(conf_ref),
+                                   atol=1e-3)

@@ -59,3 +59,14 @@ def test_infer_videos_streaming(tiny_checkpoint, working_videos):
     )
     assert pts.shape == (7, 3, 19, 2)
     assert conf.shape == (7, 3, 19, 1)
+
+
+def test_fused_estimator_matches_unfused(tiny_checkpoint, working_images):
+    """fused=True (folded-BN production path) must reproduce the keypoints
+    of the reference Flax path on real sample images."""
+    plain = PoseEstimator(tiny_checkpoint, input_shape=(64, 128))
+    fused = PoseEstimator(tiny_checkpoint, input_shape=(64, 128), fused=True)
+    pts_a, conf_a = plain.infer_folder(working_images, [4, 5, 6], max_img_id=1)
+    pts_b, conf_b = fused.infer_folder(working_images, [4, 5, 6], max_img_id=1)
+    np.testing.assert_allclose(pts_b, pts_a, atol=1e-6)
+    np.testing.assert_allclose(conf_b, conf_a, atol=1e-3)
