@@ -22,6 +22,7 @@ from deepfly3d_tpu.io import discovery, result_schema
 from deepfly3d_tpu.io.posedb import PoseDB
 from deepfly3d_tpu.ops import bundle_adjust as ba_mod
 from deepfly3d_tpu.ops import filters, geometry, procrustes
+from deepfly3d_tpu.utils.devices import geometry_device
 
 # Known lab-account camera orderings inferred from the folder path (the
 # reference hardcodes the same table, df3d/core.py:34-42).
@@ -261,14 +262,15 @@ class Core:
         prior = {
             cidx: prior[idx] for idx, cidx in enumerate(self.camera_ordering)
         }
-        result = ba_mod.bundle_adjust(
-            self.points2d,
-            prior,
-            tuple(self._image_shape),
-            update_intrinsic=False,
-            update_distort=False,
-            solver=solver,
-        )
+        with geometry_device():        # x64 parity math stays on host CPU
+            result = ba_mod.bundle_adjust(
+                self.points2d,
+                prior,
+                tuple(self._image_shape),
+                update_intrinsic=False,
+                update_distort=False,
+                solver=solver,
+            )
         self.calib = result.calib
         self._invalidate_downstream()
         err = self.reprojection_error()
@@ -283,15 +285,16 @@ class Core:
         R, tvec, intr, _ = geometry.calib_to_arrays(
             self.calib, self.config.num_cameras
         )
-        self._points3d_wo = np.asarray(
-            geometry.triangulate(
-                jnp.asarray(self.points2d),
-                jnp.asarray(R),
-                jnp.asarray(tvec),
-                jnp.asarray(intr),
-                tuple(self._image_shape),
+        with geometry_device():
+            self._points3d_wo = np.asarray(
+                geometry.triangulate(
+                    jnp.asarray(self.points2d),
+                    jnp.asarray(R),
+                    jnp.asarray(tvec),
+                    jnp.asarray(intr),
+                    tuple(self._image_shape),
+                )
             )
-        )
         return self._points3d_wo
 
     def reprojection_error(self) -> float:
@@ -302,17 +305,18 @@ class Core:
         R, tvec, intr, dist = geometry.calib_to_arrays(
             self.calib, self.config.num_cameras
         )
-        return float(
-            geometry.reprojection_error(
-                jnp.asarray(self._points3d_wo),
-                jnp.asarray(self.points2d),
-                jnp.asarray(R),
-                jnp.asarray(tvec),
-                jnp.asarray(intr),
-                jnp.asarray(dist),
-                tuple(self._image_shape),
+        with geometry_device():
+            return float(
+                geometry.reprojection_error(
+                    jnp.asarray(self._points3d_wo),
+                    jnp.asarray(self.points2d),
+                    jnp.asarray(R),
+                    jnp.asarray(tvec),
+                    jnp.asarray(intr),
+                    jnp.asarray(dist),
+                    tuple(self._image_shape),
+                )
             )
-        )
 
     def save(self):
         """Write the df3d_result pickle (reference core.py:349-369)."""
@@ -320,9 +324,10 @@ class Core:
         points3d_wo = None
         if self.has_calibration:
             points3d_wo = self.triangulate()
-            points3d = procrustes.procrustes_separate(
-                points3d_wo, self._template_points3d()
-            )
+            with geometry_device():
+                points3d = procrustes.procrustes_separate(
+                    points3d_wo, self._template_points3d()
+                )
             self.points3d = points3d
         else:
             logger.debug("Triangulation skipped.")
@@ -341,11 +346,12 @@ class Core:
         """Procrustes + normalize/rotate + One-Euro (reference core.py:332-343)."""
         if self._points3d_wo is None:
             self.triangulate()
-        pts = procrustes.procrustes_separate(
-            np.copy(self._points3d_wo), self._template_points3d()
-        )
-        pts = procrustes.normalize_pose_3d(pts, rotate=True)
-        return filters.filter_batch(pts)
+        with geometry_device():
+            pts = procrustes.procrustes_separate(
+                np.copy(self._points3d_wo), self._template_points3d()
+            )
+            pts = procrustes.normalize_pose_3d(pts, rotate=True)
+            return filters.filter_batch(pts)
 
     def _template_points3d(self) -> np.ndarray:
         return procrustes.load_template_points3d(
