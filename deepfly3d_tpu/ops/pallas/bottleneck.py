@@ -166,16 +166,74 @@ def _block_kernel(
         out_ref[:, h0:h1] = (z3 + res).astype(out_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+def _block_kernel_v2(
+    x_ref, s1_ref, t1_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+    *rest,
+    H: int, W: int, HC: int, cmid: int, has_proj: bool, cdtype,
+):
+    """im2col variant: the 3x3 conv is ONE (M, 9*Cmid) @ (9*Cmid, Cmid)
+    matmul per chunk — full 128-lane contraction on the MXU instead of nine
+    K=Cmid dots (w2 arrives pre-reshaped to (9*Cmid, Cmid))."""
+    if has_proj:
+        wp_ref, bp_ref, out_ref, a2p_ref, col_ref = rest
+    else:
+        out_ref, a2p_ref, col_ref = rest
+    ipp = x_ref.shape[0]
+    s1 = s1_ref[0]
+    t1 = t1_ref[0]
+
+    def a1_rows(r0, r1):
+        x = x_ref[:, r0:r1]
+        return jnp.maximum(x * s1 + t1, 0).astype(cdtype)
+
+    for h0 in range(0, H, HC):
+        h1 = h0 + HC
+        src0, src1 = max(h0 - 1, 0), min(h1 + 1, H)
+        z1 = _dotf32(a1_rows(src0, src1), w1_ref[:]) + b1_ref[0]
+        a2 = jnp.maximum(z1, 0).astype(cdtype)
+        a2p_ref[...] = jnp.zeros_like(a2p_ref)
+        off = src0 - (h0 - 1)
+        a2p_ref[:, off:off + (src1 - src0), 1:W + 1, :] = a2
+        for k in range(9):
+            dy, dx = divmod(k, 3)
+            col_ref[:, :, :, k * cmid:(k + 1) * cmid] = (
+                a2p_ref[:, dy:dy + HC, dx:dx + W, :]
+            )
+        acc = _dotf32(col_ref[...], w2_ref[:]) + b2_ref[0]
+        a3 = jnp.maximum(acc, 0).astype(cdtype)
+        z3 = _dotf32(a3, w3_ref[:]) + b3_ref[0]
+        if has_proj:
+            res = _dotf32(a1_rows(h0, h1), wp_ref[:]) + bp_ref[0]
+        else:
+            res = x_ref[:, h0:h1].astype(jnp.float32)
+        out_ref[:, h0:h1] = (z3 + res).astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("interpret", "version"))
 def fused_bottleneck(x: jnp.ndarray, folded: Dict[str, jnp.ndarray],
-                     interpret: Optional[bool] = None) -> jnp.ndarray:
+                     interpret: Optional[bool] = None,
+                     version: int = 1) -> jnp.ndarray:
     """Apply one folded bottleneck block to x (N, H, W, Cin) -> (N, H, W, Cout)."""
     n, h, w, cin = x.shape
     cmid = folded["w1"].shape[1]
     cout = folded["w3"].shape[1]
     has_proj = "wp" in folded
+    # whole-image VMEM residency: reject blocks whose lane-padded x/out
+    # blocks alone would blow the ~16MB budget (use bottleneck_xla there)
+    lane = 128
+    block_bytes = h * w * lane * x.dtype.itemsize * 2  # x + out, padded
+    if block_bytes > 12 * 2**20:
+        raise ValueError(
+            f"fused_bottleneck: ({h}x{w}) image too large for single-program "
+            "VMEM residency — use bottleneck_xla for this block"
+        )
     ipp, hc = _plan(n, h, w)
     cdtype = x.dtype
+
+    folded = dict(folded)
+    if version == 2:
+        # pre-reshape taps for the single im2col dot
+        folded["w2"] = folded["w2"].reshape(9 * cmid, cmid)
 
     names = ["s1", "t1", "w1", "b1", "w2", "b2", "w3", "b3"]
     if has_proj:
@@ -188,10 +246,14 @@ def fused_bottleneck(x: jnp.ndarray, folded: Dict[str, jnp.ndarray],
         for k in names
     ]
 
+    kernel_fn = _block_kernel if version == 1 else _block_kernel_v2
     kernel = partial(
-        _block_kernel, H=h, W=w, HC=hc, cmid=cmid, has_proj=has_proj,
+        kernel_fn, H=h, W=w, HC=hc, cmid=cmid, has_proj=has_proj,
         cdtype=cdtype,
     )
+    scratch = [pltpu.VMEM((ipp, hc + 2, w + 2, cmid), cdtype)]
+    if version == 2:
+        scratch.append(pltpu.VMEM((ipp, hc, w, 9 * cmid), cdtype))
     return pl.pallas_call(
         kernel,
         grid=(n // ipp,),
@@ -203,9 +265,7 @@ def fused_bottleneck(x: jnp.ndarray, folded: Dict[str, jnp.ndarray],
         out_specs=pl.BlockSpec((ipp, h, w, cout), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w, cout), cdtype),
-        scratch_shapes=[
-            pltpu.VMEM((ipp, hc + 2, w + 2, cmid), cdtype),
-        ],
+        scratch_shapes=scratch,
         interpret=_interpret() if interpret is None else interpret,
     )(x, *param_args)
 

@@ -60,6 +60,36 @@ class TestFusedBottleneck:
         np.testing.assert_allclose(np.asarray(fused), np.asarray(oracle),
                                    atol=2e-4, rtol=1e-4)
 
+    @pytest.mark.parametrize("version", [1, 2])
+    def test_kernel_versions_match(self, version):
+        """v1 (nine K=Cmid dots) and v2 (one im2col K=9*Cmid dot) agree."""
+        from deepfly3d_tpu.models.hourglass import Bottleneck
+
+        block = Bottleneck(32)
+        x = jax.random.normal(jax.random.PRNGKey(9), (2, 16, 32, 32), jnp.float32)
+        variables = block.init(jax.random.PRNGKey(10), x, False)
+        folded = fold_bottleneck(
+            variables["params"], variables["batch_stats"], dtype=jnp.float32
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused_bottleneck(x, folded, version=version)),
+            np.asarray(bottleneck_xla(x, folded)),
+            atol=2e-4, rtol=1e-4,
+        )
+
+    def test_kernel_rejects_oversized_blocks(self):
+        """128x256 images exceed single-program VMEM — must raise, not OOM."""
+        from deepfly3d_tpu.models.hourglass import Bottleneck
+
+        block = Bottleneck(64)
+        x = jax.random.normal(jax.random.PRNGKey(11), (1, 128, 256, 32), jnp.float32)
+        variables = block.init(jax.random.PRNGKey(12), x, False)
+        folded = fold_bottleneck(
+            variables["params"], variables["batch_stats"], dtype=jnp.float32
+        )
+        with pytest.raises(ValueError, match="too large"):
+            fused_bottleneck(x, folded)
+
     def test_kernel_chunked_rows(self):
         """H*W > 2048 exercises the in-kernel row-chunk loop with halos."""
         from deepfly3d_tpu.models.hourglass import Bottleneck
