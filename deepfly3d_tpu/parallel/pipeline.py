@@ -98,20 +98,28 @@ def make_sharded_infer(
     input_shape: Tuple[int, int],
     axis_name: str = "data",
 ):
-    """DP inference: (N, H, W, 3) uint8 sharded over devices -> keypoints."""
+    """DP inference: (N, H, W, 3) uint8 + (N,) flips, sharded over devices.
+
+    Same per-image math as the single-chip ``models.inference.infer_batch``
+    (matmul preprocess, hourglass, argmax decode) with the image axis laid
+    out over the mesh — each device runs its shard with zero collectives.
+    """
+    from deepfly3d_tpu.ops import image as image_ops
+
     model = HourglassNet(spec)
     rep = mesh_mod.replicated_sharding(mesh)
 
     @partial(
         jax.jit,
-        in_shardings=(rep, mesh_mod.batch_sharding(mesh, 4, axis_name)),
+        in_shardings=(
+            rep,
+            mesh_mod.batch_sharding(mesh, 4, axis_name),
+            mesh_mod.batch_sharding(mesh, 1, axis_name),
+        ),
         out_shardings=(None, None),
     )
-    def infer(variables, images_u8):
-        x = images_u8.astype(jnp.float32) / 255.0
-        x = jax.image.resize(
-            x, (x.shape[0], input_shape[0], input_shape[1], 3), method="bilinear"
-        )
+    def infer(variables, images_u8, flip):
+        x = image_ops.preprocess_frames(images_u8, flip, tuple(input_shape))
         heatmaps = model.apply(variables, x, train=False)
         return decode_mod.decode_argmax(heatmaps[-1])
 

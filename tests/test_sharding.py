@@ -53,6 +53,48 @@ def test_sharded_triangulate_matches_single_device(golden_3d):
     )
 
 
+def test_sharded_infer_matches_single_device(working_images):
+    """The sample recording, image axis sharded over 8 devices, must decode
+    the same keypoints as the single-device path (SURVEY §4: multi-chip run
+    asserts identical results)."""
+    import cv2
+    import os
+    from deepfly3d_tpu.models import inference as inf_mod
+    from deepfly3d_tpu.models.hourglass import init_params
+
+    spec = HourglassSpec(num_stacks=1, features=16, depth=2, num_classes=19)
+    variables = init_params(spec, (64, 128), jax.random.PRNGKey(0))
+
+    paths = [
+        os.path.join(working_images, f"camera_{c}_img_{i}.jpg")
+        for c in range(7) for i in range(2)
+    ]
+    images = np.stack([
+        cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB) for p in paths
+    ])
+    flip = np.asarray([c >= 4 for c in range(7) for _ in range(2)])
+    # pad 14 -> 16 so the image axis splits evenly over 8 devices
+    images = np.concatenate([images, images[:2]])
+    flip = np.concatenate([flip, flip[:2]])
+
+    mesh = mesh_mod.data_mesh(8)
+    with mesh:
+        infer = pipeline.make_sharded_infer(spec, mesh, (64, 128))
+        pts_sharded, conf_sharded = infer(
+            variables, jnp.asarray(images), jnp.asarray(flip)
+        )
+
+    pts_single, conf_single = inf_mod.infer_batch(
+        variables, jnp.asarray(images), jnp.asarray(flip), spec, (64, 128)
+    )
+    np.testing.assert_allclose(
+        np.asarray(pts_sharded), np.asarray(pts_single), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(conf_sharded), np.asarray(conf_single), atol=1e-5
+    )
+
+
 def test_batched_calibration_vmapped():
     """Two identical synthetic recordings calibrate in one vmapped program."""
     rng = np.random.default_rng(0)
