@@ -142,7 +142,7 @@ def main():
     # Generate the frame batch ON DEVICE: the metric is pipeline throughput;
     # uploading ~600MB of random bytes through the axon tunnel would only
     # measure the tunnel.  (Production ingest overlaps H2D with compute via
-    # the prefetch ring in deepfly3d_tpu/io/ingest.py.)
+    # the one-batch-ahead device_put prefetch in PoseEstimator.infer_images.)
     frames = jax.jit(
         lambda key: jax.random.randint(
             key, (T, NUM_CAMERAS, IMAGE_H, IMAGE_W, 3), 0, 255, jnp.uint8

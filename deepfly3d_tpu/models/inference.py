@@ -119,18 +119,36 @@ class PoseEstimator:
             )
 
     def infer_images(self, images_u8: np.ndarray, flip: np.ndarray, batch_size: int = 8):
-        """(N,H,W,3) uint8 + (N,) flip flags -> (pts (N,19,2), conf (N,19,1))."""
+        """(N,H,W,3) uint8 + (N,) flip flags -> (pts (N,19,2), conf (N,19,1)).
+
+        H2D transfers are prefetched one batch ahead (``jax.device_put`` is
+        async), so the upload of batch i+1 overlaps the device compute of
+        batch i — the role of the reference DataLoader's pinned-memory
+        staging (reference cli.py:146-150).
+        """
         pts_all, conf_all = [], []
         N = images_u8.shape[0]
         pad = (-N) % batch_size
         if pad:
             images_u8 = np.concatenate([images_u8, images_u8[:pad]], axis=0)
             flip = np.concatenate([flip, flip[:pad]], axis=0)
-        for i in range(0, images_u8.shape[0], batch_size):
+
+        def put(i):
+            return (
+                jax.device_put(images_u8[i : i + batch_size]),
+                jax.device_put(flip[i : i + batch_size]),
+            )
+
+        starts = list(range(0, images_u8.shape[0], batch_size))
+        staged = put(starts[0])
+        for n, i in enumerate(starts):
+            imgs_d, flip_d = staged
+            if n + 1 < len(starts):
+                staged = put(starts[n + 1])   # prefetch next H2D in flight
             pts, conf = infer_batch(
                 self.variables,
-                jnp.asarray(images_u8[i : i + batch_size]),
-                jnp.asarray(flip[i : i + batch_size]),
+                imgs_d,
+                flip_d,
                 self.spec,
                 self.input_shape,
                 self.soft_argmax,
