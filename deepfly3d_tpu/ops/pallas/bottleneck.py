@@ -209,6 +209,52 @@ def _block_kernel_v2(
         out_ref[:, h0:h1] = (z3 + res).astype(out_ref.dtype)
 
 
+def _block_kernel_v3(
+    x_top_ref, x_mid_ref, x_bot_ref,
+    s1_ref, t1_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+    *rest,
+    HC: int, W: int, J: int, cmid: int, has_proj: bool, cdtype,
+):
+    """Row-tiled variant: grid (N, H/HC); halo rows come from the same array
+    fetched under shifted block-index maps, so Mosaic's grid pipeline
+    overlaps every tile's DMA with the previous tile's compute (the
+    whole-image v1/v2 kernels serialize them, which is why they lose to
+    XLA).  The 3x3 conv uses the v2 im2col single-dot formulation."""
+    if has_proj:
+        wp_ref, bp_ref, out_ref, a2p_ref, col_ref = rest
+    else:
+        out_ref, a2p_ref, col_ref = rest
+    j = pl.program_id(1)
+    s1 = s1_ref[0]
+    t1 = t1_ref[0]
+
+    def a1_of(rows):
+        return jnp.maximum(rows * s1 + t1, 0).astype(cdtype)
+
+    a1_mid = a1_of(x_mid_ref[0])                      # (HC, W, Cin)
+    top = a1_of(x_top_ref[0, HC - 1:HC])              # (1, W, Cin)
+    bot = a1_of(x_bot_ref[0, 0:1])
+    top = jnp.where(j > 0, top, jnp.zeros_like(top))
+    bot = jnp.where(j < J - 1, bot, jnp.zeros_like(bot))
+    a1_ext = jnp.concatenate([top, a1_mid, bot], axis=0)   # (HC+2, W, Cin)
+
+    z1 = _dotf32(a1_ext, w1_ref[:]) + b1_ref[0]
+    a2 = jnp.maximum(z1, 0).astype(cdtype)            # (HC+2, W, Cmid)
+    a2p_ref[...] = jnp.zeros_like(a2p_ref)
+    a2p_ref[:, 1:W + 1, :] = a2
+    for k in range(9):
+        dy, dx = divmod(k, 3)
+        col_ref[:, :, k * cmid:(k + 1) * cmid] = a2p_ref[dy:dy + HC, dx:dx + W, :]
+    acc = _dotf32(col_ref[...], w2_ref[:]) + b2_ref[0]
+    a3 = jnp.maximum(acc, 0).astype(cdtype)
+    z3 = _dotf32(a3, w3_ref[:]) + b3_ref[0]
+    if has_proj:
+        res = _dotf32(a1_mid, wp_ref[:]) + bp_ref[0]
+    else:
+        res = x_mid_ref[0].astype(jnp.float32)
+    out_ref[0] = (z3 + res).astype(out_ref.dtype)
+
+
 @partial(jax.jit, static_argnames=("interpret", "version"))
 def fused_bottleneck(x: jnp.ndarray, folded: Dict[str, jnp.ndarray],
                      interpret: Optional[bool] = None,
@@ -218,17 +264,24 @@ def fused_bottleneck(x: jnp.ndarray, folded: Dict[str, jnp.ndarray],
     cmid = folded["w1"].shape[1]
     cout = folded["w3"].shape[1]
     has_proj = "wp" in folded
-    # whole-image VMEM residency: reject blocks whose lane-padded x/out
-    # blocks alone would blow the ~16MB budget (use bottleneck_xla there)
-    lane = 128
-    block_bytes = h * w * lane * x.dtype.itemsize * 2  # x + out, padded
-    if block_bytes > 12 * 2**20:
-        raise ValueError(
-            f"fused_bottleneck: ({h}x{w}) image too large for single-program "
-            "VMEM residency — use bottleneck_xla for this block"
-        )
+    if version != 3:
+        # whole-image VMEM residency (v1/v2): reject blocks whose
+        # lane-padded x/out blocks alone would blow the ~16MB budget
+        lane = 128
+        block_bytes = h * w * lane * x.dtype.itemsize * 2  # x + out, padded
+        if block_bytes > 12 * 2**20:
+            raise ValueError(
+                f"fused_bottleneck: ({h}x{w}) image too large for "
+                "single-program VMEM residency — use version=3 or "
+                "bottleneck_xla for this block"
+            )
     ipp, hc = _plan(n, h, w)
     cdtype = x.dtype
+
+    if version == 3:
+        return _fused_bottleneck_v3(
+            x, dict(folded), interpret=interpret
+        )
 
     folded = dict(folded)
     if version == 2:
@@ -268,6 +321,58 @@ def fused_bottleneck(x: jnp.ndarray, folded: Dict[str, jnp.ndarray],
         scratch_shapes=scratch,
         interpret=_interpret() if interpret is None else interpret,
     )(x, *param_args)
+
+
+def _fused_bottleneck_v3(x: jnp.ndarray, folded: Dict[str, jnp.ndarray],
+                         interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Row-tiled launch of _block_kernel_v3 (grid (N, H/HC), halo via
+    shifted block-index maps)."""
+    n, h, w, cin = x.shape
+    cmid = folded["w1"].shape[1]
+    cout = folded["w3"].shape[1]
+    has_proj = "wp" in folded
+    cdtype = x.dtype
+    folded["w2"] = folded["w2"].reshape(9 * cmid, cmid)
+
+    hc = max(min(2048 // w, h), 8)
+    while h % hc:
+        hc -= 1
+    J = h // hc
+
+    names = ["s1", "t1", "w1", "b1", "w2", "b2", "w3", "b3"]
+    if has_proj:
+        names += ["wp", "bp"]
+    param_args = [folded[k] for k in names]
+    param_specs = [
+        pl.BlockSpec(folded[k].shape,
+                     (lambda *_, nd=folded[k].ndim: (0,) * nd),
+                     memory_space=pltpu.VMEM)
+        for k in names
+    ]
+
+    def xspec(shift):
+        def idx(i, j):
+            jj = jnp.clip(j + shift, 0, J - 1)
+            return (i, jj, 0, 0)
+        return pl.BlockSpec((1, hc, w, cin), idx, memory_space=pltpu.VMEM)
+
+    kernel = partial(
+        _block_kernel_v3, HC=hc, W=w, J=J, cmid=cmid, has_proj=has_proj,
+        cdtype=cdtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n, J),
+        in_specs=[xspec(-1), xspec(0), xspec(+1), *param_specs],
+        out_specs=pl.BlockSpec((1, hc, w, cout), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, cout), cdtype),
+        scratch_shapes=[
+            pltpu.VMEM((hc + 2, w + 2, cmid), cdtype),
+            pltpu.VMEM((hc, w, 9 * cmid), cdtype),
+        ],
+        interpret=_interpret() if interpret is None else interpret,
+    )(x, x, x, *param_args)
 
 
 def bottleneck_xla(x: jnp.ndarray, folded: Dict[str, jnp.ndarray]) -> jnp.ndarray:

@@ -60,9 +60,10 @@ class TestFusedBottleneck:
         np.testing.assert_allclose(np.asarray(fused), np.asarray(oracle),
                                    atol=2e-4, rtol=1e-4)
 
-    @pytest.mark.parametrize("version", [1, 2])
+    @pytest.mark.parametrize("version", [1, 2, 3])
     def test_kernel_versions_match(self, version):
-        """v1 (nine K=Cmid dots) and v2 (one im2col K=9*Cmid dot) agree."""
+        """v1 (nine K=Cmid dots), v2 (one im2col K=9*Cmid dot) and v3
+        (row-tiled grid with halo block-index maps) agree with the oracle."""
         from deepfly3d_tpu.models.hourglass import Bottleneck
 
         block = Bottleneck(32)
