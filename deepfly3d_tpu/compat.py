@@ -168,3 +168,15 @@ class CameraNetwork:
             }
             for c in self.calib
         }
+
+
+def procrustes_seperate(pts3d: np.ndarray) -> np.ndarray:
+    """Reference-spelling shim (df3d/procrustes.py:51): per-side procrustes
+    onto the shipped template, template argument defaulted from config."""
+    from deepfly3d_tpu.config import fly_config
+    from deepfly3d_tpu.ops import procrustes as _procrustes
+
+    template = _procrustes.load_template_points3d(
+        fly_config().procrustes_template_path
+    )
+    return _procrustes.procrustes_separate(pts3d, template)

@@ -55,3 +55,12 @@ def test_camera_accessors(cam_net, working_images):
 def test_skeleton_constants():
     assert df3d_bones.shape[1] == 2
     assert df3d_colors.shape == (38, 3)
+
+
+def test_procrustes_seperate_reference_spelling(golden_3d):
+    """The df3d-spelling shim defaults the template and matches golden."""
+    import numpy as np
+    from deepfly3d_tpu.compat import procrustes_seperate
+
+    out = procrustes_seperate(np.asarray(golden_3d["points3d_wo_procrustes"]))
+    np.testing.assert_allclose(np.asarray(out), golden_3d["points3d"], atol=1e-5)
