@@ -185,6 +185,7 @@ def run_in_folders(args, folders) -> int:
 
 def run(args) -> int:
     from deepfly3d_tpu.core import Core
+    from deepfly3d_tpu.utils.profiling import StageTimer
     from deepfly3d_tpu.viz import video
 
     nothing_to_do = args.skip_estimation and not args.video_2d and not args.video_3d
@@ -193,38 +194,49 @@ def run(args) -> int:
         return 0
 
     logger.info(f"Working in {args.input_folder}")
-    core = Core(
-        args.input_folder, args.output_folder, args.num_images_max, args.order
-    )
+    timer = StageTimer()
+    with timer.stage("setup"):
+        core = Core(
+            args.input_folder, args.output_folder, args.num_images_max, args.order
+        )
 
     if not args.skip_estimation:
-        core.pose2d_estimation(
-            args.batch_size,
-            disable_pin_memory=args.pin_memory_disabled,
-            checkpoint=args.checkpoint,
-            soft_argmax=args.soft_argmax,
-        )
+        with timer.stage("pose2d"):
+            core.pose2d_estimation(
+                args.batch_size,
+                disable_pin_memory=args.pin_memory_disabled,
+                checkpoint=args.checkpoint,
+                soft_argmax=args.soft_argmax,
+            )
         core.save()
-        core.calibrate_calc(0, core.max_img_id, solver=args.solver)
-        core.save()
+        with timer.stage("calibrate"):
+            core.calibrate_calc(0, core.max_img_id, solver=args.solver)
+        with timer.stage("save"):
+            core.save()
     else:
-        core.calibrate_calc(0, core.max_img_id, solver=args.solver)
-        core.save()
+        with timer.stage("calibrate"):
+            core.calibrate_calc(0, core.max_img_id, solver=args.solver)
+        with timer.stage("save"):
+            core.save()
 
     fps = args.output_fps if args.output_fps is not None else core.fps
     if args.video_2d:
-        video.make_pose2d_video(
-            core.plot_2d, core.num_images, core.input_folder,
-            core.output_folder, fps=fps,
-        )
+        with timer.stage("video2d"):
+            video.make_pose2d_video(
+                core.plot_2d, core.num_images, core.input_folder,
+                core.output_folder, fps=fps,
+            )
     if args.video_3d:
-        video.make_pose3d_video(
-            core.get_points3d(), core.plot_2d, core.num_images,
-            core.input_folder, core.output_folder, fps=fps,
-            skeleton=core.config.skeleton,
-        )
+        with timer.stage("video3d"):
+            video.make_pose3d_video(
+                core.get_points3d(), core.plot_2d, core.num_images,
+                core.input_folder, core.output_folder, fps=fps,
+                skeleton=core.config.skeleton,
+            )
     if args.delete_images:
         core.delete_images()
+    # structured per-stage metrics (SURVEY §5.5) at -v; shape/units stable
+    logger.info("stage metrics: " + timer.report(frames=core.num_images))
     return 0
 
 
