@@ -113,3 +113,44 @@ class TestFilterShims:
             filters.LowPassFilter(0.0)
         with pytest.raises(ValueError):
             filters.OneEuroFilter(freq=-1)
+
+
+class TestH36MGeometry:
+    def test_four_camera_roundtrip(self):
+        """Geometry is camera-count/joint-count agnostic: a synthetic
+        17-joint human skeleton seen by 4 cameras projects and DLT-recovers
+        (the H3.6M-style capture topology, BASELINE config #4)."""
+        from deepfly3d_tpu.ops import geometry
+
+        rng = np.random.default_rng(3)
+        C, T, J = 4, 5, 17
+        pts = rng.normal(size=(T, J, 3)) * 0.4  # ~human-torso scale (m)
+        W, H = 1000, 1000
+        K = np.tile(
+            np.asarray([[1100.0, 0, W / 2], [0, 1100.0, H / 2], [0, 0, 1]]),
+            (C, 1, 1),
+        )
+        dist = np.zeros((C, 5))
+        Rm, tv = [], []
+        for c in range(C):
+            ang = np.pi / 2 * c          # cameras every 90 degrees
+            Rm.append(np.asarray(geometry.rodrigues(
+                jnp.asarray([0.0, ang, 0.0]))))
+            tv.append(np.asarray([0.0, 0.0, 6.0]))
+        Rm, tv = np.stack(Rm), np.stack(tv)
+
+        obs = np.zeros((C, T, J, 2))
+        for c in range(C):
+            px = np.asarray(geometry.project(
+                jnp.asarray(pts.reshape(-1, 3)), jnp.asarray(Rm[c]),
+                jnp.asarray(tv[c]), jnp.asarray(K[c]), jnp.asarray(dist[c]),
+            )).reshape(T, J, 2)
+            # store normalized (row, col) as the pipeline does
+            obs[c, ..., 0] = px[..., 1] / H
+            obs[c, ..., 1] = px[..., 0] / W
+
+        back = geometry.triangulate(
+            jnp.asarray(obs), jnp.asarray(Rm), jnp.asarray(tv),
+            jnp.asarray(K), (W, H),
+        )
+        np.testing.assert_allclose(np.asarray(back), pts, atol=1e-8)
