@@ -138,7 +138,9 @@ def main():
         spec, variables, calib, np.arange(NUM_CAMERAS), jnp.float32
     )
 
-    T = int(os.environ.get("DF3D_BENCH_T", "64"))  # timesteps per dispatch
+    # 128 timesteps (896 images) per dispatch: measured sweet spot — 575
+    # frames/s vs 543 at T=64; T=256 exceeds the chip's 16GB HBM.
+    T = int(os.environ.get("DF3D_BENCH_T", "128"))
     # Generate the frame batch ON DEVICE: the metric is pipeline throughput;
     # uploading ~600MB of random bytes through the axon tunnel would only
     # measure the tunnel.  (Production ingest overlaps H2D with compute via
