@@ -277,6 +277,123 @@ class Core:
         print(f"Reprojection error is {err}")
         return result
 
+    def solve_pictorial(self, batch_size: int = 8, apply: bool = True):
+        """Pictorial-structures MAP correction over the camera graph.
+
+        The working reconstruction of the reference's vanished
+        ``solve_bp_for_camnet`` (reference README.md:305; only config hooks
+        survive in the snapshot — SURVEY §5.9): per body side, top-k
+        heatmap peaks become 2D candidates, candidate pairs triangulate to
+        3D hypotheses, and an exact Viterbi max-product over each 5-joint
+        leg chain picks the kinematically + geometrically consistent
+        configuration (ops/pictorial.py, hyperparameters from
+        reference df3d/config.py:55-60).
+
+        Returns {'left': (T, 15, 3), 'right': (T, 15, 3)} MAP leg points;
+        with ``apply`` the corrected legs are reprojected into each side's
+        cameras and written into ``self.points2d``.
+        """
+        import jax.numpy as jnp
+
+        from deepfly3d_tpu.models.inference import PoseEstimator
+        from deepfly3d_tpu.ops import pictorial
+
+        assert self.has_calibration, "Calibrate first."
+        if self._estimator is None:
+            self._estimator = PoseEstimator(
+                self.config.network.checkpoint,
+                input_shape=self.config.network.input_shape,
+            )
+        order = list(self.camera_ordering)
+        flip = [cam for idx, cam in enumerate(order) if idx > 3]
+        _, _, heatmaps = self._estimator.infer_folder(
+            self._input_folder,
+            camera_ids_to_flip=flip,
+            max_img_id=self.max_img_id,
+            batch_size=batch_size,
+            num_cameras=self.config.num_cameras,
+            return_heatmap=True,
+        )
+        W, H = self._image_shape  # [width, height] = [960, 480]
+        params = pictorial.PictorialParams(
+            num_peak=self.config.bp.num_peak,
+            upper_bound=self.config.bp.upper_bound,
+            alpha_reproj=self.config.bp.alpha_reproj,
+            alpha_heatmap=self.config.bp.alpha_heatmap,
+            alpha_bone=self.config.bp.alpha_bone,
+        )
+        bone_param = self.config.skeleton.bone_param
+        legs, leg_len = 3, 5
+
+        out = {}
+        with geometry_device():
+            for side, positions, joint0 in (
+                ("left", (0, 1, 2), 0),
+                ("right", (4, 5, 6), 19),
+            ):
+                cams = [order[p] for p in positions]
+                hm = heatmaps[cams]                      # (3, T, h, w, 19)
+                C3, T = hm.shape[:2]
+                coords, scores = pictorial.top_k_peaks(
+                    jnp.asarray(
+                        hm.reshape((C3 * T,) + hm.shape[2:]), jnp.float32
+                    ),
+                    k=params.num_peak,
+                )
+                coords = np.array(coords).reshape(C3, T, 19, params.num_peak, 2)
+                scores = np.array(scores).reshape(C3, T, 19, params.num_peak)
+                if side == "right":                      # unflip columns
+                    coords[..., 1] = 1.0 - coords[..., 1]
+                # normalized (row, col) -> pixel (x, y)
+                cand_xy = np.stack(
+                    [coords[..., 1] * W, coords[..., 0] * H], axis=-1
+                )
+                R, tvec, intr, _ = geometry.calib_to_arrays(
+                    {i: self.calib[c] for i, c in enumerate(cams)}, C3
+                )
+                P = np.asarray(
+                    geometry.projection_matrices(
+                        jnp.asarray(R), jnp.asarray(tvec), jnp.asarray(intr)
+                    )
+                )
+                n_leg = legs * leg_len
+                edge_joints = np.asarray(
+                    [joint0 + l * leg_len + e + 1
+                     for l in range(legs) for e in range(leg_len - 1)]
+                )
+                pts3d = pictorial.correct_legs_map(
+                    jnp.asarray(cand_xy[:, :, :n_leg], jnp.float32),
+                    jnp.asarray(scores[:, :, :n_leg], jnp.float32),
+                    jnp.asarray(P, jnp.float32),
+                    jnp.asarray(bone_param[edge_joints, 0], jnp.float32),
+                    jnp.asarray(bone_param[edge_joints, 1], jnp.float32),
+                    params,
+                    legs=legs,
+                    leg_len=leg_len,
+                )
+                pts3d = np.asarray(pts3d)                # (T, 15, 3)
+                out[side] = pts3d
+                if apply:
+                    for i, cam in enumerate(cams):
+                        px = np.asarray(
+                            geometry.project(
+                                jnp.asarray(pts3d.reshape(-1, 3)),
+                                jnp.asarray(R[i]),
+                                jnp.asarray(tvec[i]),
+                                jnp.asarray(intr[i]),
+                                jnp.zeros(5),
+                            )
+                        ).reshape(T, n_leg, 2)
+                        self.points2d[cam, :, joint0:joint0 + n_leg, 0] = (
+                            px[..., 1] / H
+                        )
+                        self.points2d[cam, :, joint0:joint0 + n_leg, 1] = (
+                            px[..., 0] / W
+                        )
+        if apply:
+            self._invalidate_downstream()
+        return out
+
     def triangulate(self) -> np.ndarray:
         """DLT-triangulate current points2d with current calibration."""
         import jax.numpy as jnp

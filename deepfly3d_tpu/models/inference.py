@@ -30,7 +30,9 @@ from deepfly3d_tpu.models.hourglass import HourglassNet, HourglassSpec, load_wei
 
 @partial(
     jax.jit,
-    static_argnames=("spec", "input_shape", "soft_argmax", "fused"),
+    static_argnames=(
+        "spec", "input_shape", "soft_argmax", "fused", "return_heatmaps"
+    ),
 )
 def infer_batch(
     variables,
@@ -40,6 +42,7 @@ def infer_batch(
     input_shape: Tuple[int, int],
     soft_argmax: bool = False,
     fused: bool = False,
+    return_heatmaps: bool = False,
 ):
     """uint8 images -> (points2d (N,19,2) normalized (row,col), conf (N,19,1)).
 
@@ -65,8 +68,15 @@ def infer_batch(
         heatmaps = model.apply(variables, x, train=False)  # (S, N, h, w, K)
         last = heatmaps[-1]
     if soft_argmax:
-        return decode_mod.decode_softargmax(last)
-    return decode_mod.decode_argmax(last)
+        pts, conf = decode_mod.decode_softargmax(last)
+    else:
+        pts, conf = decode_mod.decode_argmax(last)
+    if return_heatmaps:
+        # last-stack heatmaps, flipped-camera maps stay in the flipped
+        # frame (the reference df2d `return_heatmap` contract,
+        # reference core.py:177-185 / README.md:404)
+        return pts, conf, last
+    return pts, conf
 
 
 def _read_images_threaded(paths: Sequence[str], workers: int = 16) -> np.ndarray:
@@ -118,15 +128,19 @@ class PoseEstimator:
                 self.variables, self.spec, dtype=jnp.float32
             )
 
-    def infer_images(self, images_u8: np.ndarray, flip: np.ndarray, batch_size: int = 8):
+    def infer_images(self, images_u8: np.ndarray, flip: np.ndarray,
+                     batch_size: int = 8, return_heatmaps: bool = False):
         """(N,H,W,3) uint8 + (N,) flip flags -> (pts (N,19,2), conf (N,19,1)).
+
+        With ``return_heatmaps`` a third array (N, h, w, 19) of last-stack
+        heatmaps is returned (flipped cameras in the flipped frame).
 
         H2D transfers are prefetched one batch ahead (``jax.device_put`` is
         async), so the upload of batch i+1 overlaps the device compute of
         batch i — the role of the reference DataLoader's pinned-memory
         staging (reference cli.py:146-150).
         """
-        pts_all, conf_all = [], []
+        pts_all, conf_all, hm_all = [], [], []
         N = images_u8.shape[0]
         pad = (-N) % batch_size
         if pad:
@@ -145,7 +159,7 @@ class PoseEstimator:
             imgs_d, flip_d = staged
             if n + 1 < len(starts):
                 staged = put(starts[n + 1])   # prefetch next H2D in flight
-            pts, conf = infer_batch(
+            out = infer_batch(
                 self.variables,
                 imgs_d,
                 flip_d,
@@ -153,11 +167,16 @@ class PoseEstimator:
                 self.input_shape,
                 self.soft_argmax,
                 self.fused,
+                return_heatmaps,
             )
-            pts_all.append(np.asarray(pts))
-            conf_all.append(np.asarray(conf))
+            pts_all.append(np.asarray(out[0]))
+            conf_all.append(np.asarray(out[1]))
+            if return_heatmaps:
+                hm_all.append(np.asarray(out[2]))
         pts = np.concatenate(pts_all)[:N]
         conf = np.concatenate(conf_all)[:N]
+        if return_heatmaps:
+            return pts, conf, np.concatenate(hm_all)[:N]
         return pts, conf
 
     def infer_videos(
@@ -215,11 +234,14 @@ class PoseEstimator:
         max_img_id: int,
         batch_size: int = 8,
         num_cameras: int = 7,
-    ) -> Tuple[np.ndarray, np.ndarray]:
+        return_heatmap: bool = False,
+    ):
         """-> (points2d (C, T, 19, 2), conf (C, T, 19, 1)), T = max_img_id + 1.
 
         Same call contract as the reference's df2d dependency
-        (reference core.py:177-185).
+        (reference core.py:177-185), including the ``return_heatmap``
+        option — when set, a third array (C, T, h, w, 19) is returned
+        (flipped cameras in the flipped frame).
         """
         T = max_img_id + 1
         paths, cams, flips = [], [], []
@@ -232,11 +254,19 @@ class PoseEstimator:
                 cams.append(cam)
                 flips.append(cam in flip_set)
         images = _read_images_threaded(paths)
-        pts, conf = self.infer_images(
-            images, np.asarray(flips), batch_size=batch_size
+        out = self.infer_images(
+            images, np.asarray(flips), batch_size=batch_size,
+            return_heatmaps=return_heatmap,
         )
+        pts, conf = out[0], out[1]
         K = pts.shape[1]
-        return (
+        result = (
             pts.reshape(num_cameras, T, K, 2).astype(np.float64),
             conf.reshape(num_cameras, T, K, 1).astype(np.float64),
         )
+        if return_heatmap:
+            hm = out[2]
+            return result + (
+                hm.reshape((num_cameras, T) + hm.shape[1:]),
+            )
+        return result

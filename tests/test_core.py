@@ -207,3 +207,53 @@ class TestPoseEstimationRobustness:
         np.testing.assert_allclose(
             core.points2d, golden_2d["points2d"], atol=0.02
         )
+
+
+class TestPictorial:
+    def test_solve_pictorial_end_to_end(self, working_images, golden_2d, golden_3d):
+        """solve_pictorial (the reference's vanished solve_bp_for_camnet,
+        SURVEY §5.9) runs heatmap-peak candidates through the leg-chain MAP
+        and writes plausible corrected 2D leg points."""
+        import os
+
+        ckpt = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            if "__file__" in dir() else ".", "weights/hourglass_fly.npz",
+        )
+        ckpt = os.path.join(os.getcwd(), "weights/hourglass_fly.npz")
+        if not os.path.exists(ckpt):
+            pytest.skip("trained weights not present")
+
+        core = Core(
+            input_folder=working_images,
+            output_folder=working_images + "_df3d",
+            num_images_max=2,
+            camera_ordering=[0, 1, 2, 3, 4, 5, 6],
+        )
+        core.points2d = np.array(golden_2d["points2d"][:, :2])
+        core.conf = np.array(golden_2d["heatmap_confidence"][:, :2])
+        core.calib = result_schema_extract_calib(golden_3d)
+
+        before = np.array(core.points2d)
+        out = core.solve_pictorial(apply=True)
+
+        for side in ("left", "right"):
+            assert out[side].shape == (2, 15, 3)
+            assert np.isfinite(out[side]).all()
+        # corrected leg points overwrite the side cameras' leg joints
+        assert not np.allclose(core.points2d, before)
+        changed = core.points2d[0, :, :15]
+        assert np.isfinite(changed).all()
+        # corrected 2D stays near the image (allow small out-of-frame slack
+        # from reprojection of 3D hypotheses)
+        assert (changed > -0.5).all() and (changed < 1.5).all()
+        # MAP legs should stay close to the argmax legs on clean data:
+        # median shift well under 10% of the image
+        shift = np.abs(core.points2d[0, :, :15] - before[0, :, :15])
+        assert np.median(shift) < 0.1
+
+
+def result_schema_extract_calib(golden):
+    from deepfly3d_tpu.io import result_schema
+
+    return result_schema.extract_calib(golden)
