@@ -101,7 +101,8 @@ def build_pipeline(spec, variables, calib, camera_ordering, compute_dtype):
         pts3d = geometry.triangulate(
             p38, jnp.asarray(R, jnp.float32), jnp.asarray(tvec, jnp.float32),
             jnp.asarray(intr, jnp.float32), (IMAGE_W, IMAGE_H),
-            method="eigh",   # cheap 4x4 eigendecomposition (f32 production)
+            # closed-form inverse-power DLT: 3.8ms vs eigh 16ms at T=128
+            method="normal",
         )
         return pts3d
 
