@@ -109,6 +109,12 @@ if HAS_PYQT:
             self.button_prev_err = mb("< previous error", self.onclick_prev_error)
             self.button_next_err = mb("next error >", self.onclick_next_error)
             self.button_save = mb("Save", self.onclick_save)
+            # the auto-correct hook the reference left commented out
+            # (reference gui.py:83-85, 300-301), backed by the working
+            # pictorial-structures MAP (Core.solve_pictorial)
+            self.button_auto_correct = mb(
+                "Auto-correct", self.onclick_auto_correct
+            )
             self.button_image_mode = mb("Image", self.onclick_image_mode, True)
             self.button_pose_mode = mb("Pose", self.onclick_pose_mode, True)
             self.button_correction_mode = mb(
@@ -146,6 +152,7 @@ if HAS_PYQT:
             modes = QW.QHBoxLayout()
             modes.setAlignment(Qt.AlignRight)
             modes.addWidget(self.button_save)
+            modes.addWidget(self.button_auto_correct)
             modes.addStretch()
             modes.addWidget(self.button_image_mode)
             modes.addWidget(self.button_pose_mode)
@@ -210,6 +217,17 @@ if HAS_PYQT:
         def onclick_save(self):
             self.core.save()
             self.core.save_corrections()
+
+        def onclick_auto_correct(self):
+            """Pictorial-structures MAP over the camera graph; corrected
+            leg keypoints are written into the session's points2d."""
+            if not self.core.has_calibration:
+                self.display_error_message(
+                    "Auto-correct needs calibration — run df3d-cli first."
+                )
+                return
+            self.core.solve_pictorial()
+            self.update_frame()
 
         # ------------------------------------------------------------ modes
 
