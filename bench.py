@@ -18,7 +18,7 @@ os.environ["DF3D_TPU_DISABLE_X64"] = "1"  # pure f32/bf16 on the TPU hot path
 
 import json
 import time
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

@@ -24,8 +24,8 @@ is validated end-to-end by the argmax-decode golden test tolerances).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Tuple
+
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
