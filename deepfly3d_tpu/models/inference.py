@@ -186,13 +186,16 @@ class PoseEstimator:
         batch_size: int = 8,
         num_cameras: int = 7,
         max_frames: Optional[int] = None,
+        chunk_frames: int = 512,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Streaming decode of camera_{c}.mp4 -> keypoints, no JPEGs on disk.
 
         The reference must expand videos to JPEG files via ffmpeg
         subprocesses before inference (reference core.py:446-459); this path
         streams frames straight from the demuxer (native libav when built,
-        OpenCV otherwise) into the device pipeline.
+        OpenCV otherwise) into the device pipeline, at most ``chunk_frames``
+        host-resident at a time — hour-long recordings never materialize in
+        RAM.
         """
         from deepfly3d_tpu.io import native
 
@@ -200,28 +203,51 @@ class PoseEstimator:
         per_cam_pts, per_cam_conf = [], []
         for cam in range(num_cameras):
             path = os.path.join(folder, f"camera_{cam}.mp4")
-            frames = []
+            flip_cam = cam in flip_set
+            cam_pts, cam_conf = [], []
+            frames: list = []
+
+            def flush():
+                if not frames:
+                    return
+                images = np.stack(frames)
+                frames.clear()
+                flip = np.full(images.shape[0], flip_cam)
+                p, c = self.infer_images(images, flip, batch_size=batch_size)
+                cam_pts.append(p)
+                cam_conf.append(c)
+
+            def consume(frame_iter):
+                n = 0
+                for frame in frame_iter:
+                    frames.append(frame)
+                    n += 1
+                    if len(frames) >= chunk_frames:
+                        flush()
+                    if max_frames and n >= max_frames:
+                        break
+                flush()
+
             if native.available():
                 with native.VideoReader(path) as vr:
-                    for frame in vr:
-                        frames.append(frame)
-                        if max_frames and len(frames) >= max_frames:
-                            break
+                    consume(vr)
             else:
                 import cv2
 
-                cap = cv2.VideoCapture(path)
-                while True:
-                    ok, frame = cap.read()
-                    if not ok or (max_frames and len(frames) >= max_frames):
-                        break
-                    frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
-                cap.release()
-            images = np.stack(frames)
-            flip = np.full(len(frames), cam in flip_set)
-            pts, conf = self.infer_images(images, flip, batch_size=batch_size)
-            per_cam_pts.append(pts)
-            per_cam_conf.append(conf)
+                def cv2_frames():
+                    cap = cv2.VideoCapture(path)
+                    try:
+                        while True:
+                            ok, frame = cap.read()
+                            if not ok:
+                                break
+                            yield cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                    finally:
+                        cap.release()
+
+                consume(cv2_frames())
+            per_cam_pts.append(np.concatenate(cam_pts))
+            per_cam_conf.append(np.concatenate(cam_conf))
         T = min(p.shape[0] for p in per_cam_pts)
         pts = np.stack([p[:T] for p in per_cam_pts]).astype(np.float64)
         conf = np.stack([c[:T] for c in per_cam_conf]).astype(np.float64)

@@ -70,3 +70,15 @@ def test_fused_estimator_matches_unfused(tiny_checkpoint, working_images):
     pts_b, conf_b = fused.infer_folder(working_images, [4, 5, 6], max_img_id=1)
     np.testing.assert_allclose(pts_b, pts_a, atol=1e-6)
     np.testing.assert_allclose(conf_b, conf_a, atol=1e-3)
+
+
+def test_infer_videos_chunked_matches_unchunked(tiny_checkpoint, working_videos):
+    """Chunked streaming (bounded host memory) must give identical results
+    to processing each video in one piece."""
+    est = PoseEstimator(tiny_checkpoint, input_shape=(64, 128))
+    whole = est.infer_videos(working_videos, [4, 5, 6], max_frames=6,
+                             chunk_frames=512)
+    chunked = est.infer_videos(working_videos, [4, 5, 6], max_frames=6,
+                               chunk_frames=2)
+    np.testing.assert_allclose(chunked[0], whole[0], atol=1e-6)
+    np.testing.assert_allclose(chunked[1], whole[1], atol=1e-5)
