@@ -93,7 +93,7 @@ def main():
 
     def stage_tri(p38):
         return geometry.triangulate(
-            p38, Rj, tj, ij, (IMAGE_W, IMAGE_H), method="eigh"
+            p38, Rj, tj, ij, (IMAGE_W, IMAGE_H), method="normal"
         )
 
     prefixes = [
@@ -109,13 +109,16 @@ def main():
     for name, fn in prefixes:
         jfn = jax.jit(fn)
         out = jfn(frames)
-        jax.block_until_ready(out)
+        # forced scalar readback: block_until_ready alone returns early for
+        # small programs on axon (compile would leak into the timed loop),
+        # and np.asarray would pull the full tensor through the tunnel —
+        # slice ONE element on device, transfer 4 bytes
+        _ = float(jax.device_get(out.ravel()[0]))
         iters = 6
         t0 = time.perf_counter()
         for _ in range(iters):
             out = jfn(frames)
-        jax.block_until_ready(out)
-        _ = float(np.asarray(out).ravel()[0])   # force the final readback
+        _ = float(jax.device_get(out.ravel()[0]))  # scalar readback
         dt = (time.perf_counter() - t0) / iters * 1e3
         print(f"{name:12s} {dt:9.2f} ms/dispatch   (+{dt - prev:7.2f} ms)"
               f"   {T / dt * 1e3:8.1f} frames/s")
