@@ -12,7 +12,6 @@ import argparse
 import logging
 import os
 import sys
-from collections import deque
 from pathlib import Path
 
 from deepfly3d_tpu import logger
@@ -114,45 +113,42 @@ def parse_cli_args(argv=None):
 
 
 def print_debug(args) -> int:
-    print(
-        "Enabled logging level: "
-        f"{logging.getLevelName(logger.getLogger().getEffectiveLevel())}"
-    )
-    print("Arguments are:")
-    for key, val in vars(args).items():
-        print(f"\t{key}: {val}")
-    print()
+    level = logging.getLevelName(logger.getLogger().getEffectiveLevel())
+    lines = [f"log level: {level}", "parsed arguments:"]
+    lines += [f"  {key} = {val}" for key, val in sorted(vars(args).items())]
+    print("\n".join(lines))
     return 0
 
 
 def run_from_file(args) -> int:
-    logger.info(f"Looking for folders listed in {args.input_folder}")
+    logger.info(f"Reading the folder list from {args.input_folder}")
     try:
         with open(args.input_folder, "r") as f:
             folders = [line.strip() for line in f]
     except FileNotFoundError:
-        logger.error(f"Unable to find the file {args.input_folder}")
+        logger.error(f"No such folder-list file: {args.input_folder}")
         return 1
     except IsADirectoryError:
-        logger.error(f"{args.input_folder} is a directory, please provide a file.")
+        logger.error(
+            f"{args.input_folder} is a directory; --from-file expects a text file."
+        )
         return 1
 
     folders = [f for f in dict.fromkeys(folders) if f.strip()]
     paths = [Path(f) for f in folders]
     bad = [p for p in paths if not p.is_dir()]
     for p in bad:
-        logger.error(f"[Error] Not a directory or does not exist: {p}")
+        logger.error(f"Listed path is not an existing directory: {p}")
     if bad:
         return 1
-    logger.info("Folders found:\n-" + "\n-".join(folders))
+    logger.info("Will process:\n-" + "\n-".join(folders))
     args.from_file = False
     return run_in_folders(args, paths)
 
 
 def run_recursive(args) -> int:
     logger.info(
-        f"Recursively looking for subfolders named `images` inside "
-        f"`{args.input_folder}`"
+        f"Scanning `{args.input_folder}` for `images` subfolders"
     )
     subfolders = find_subfolders(args.input_folder, "images")
     logger.info(f"Found {len(subfolders)} subfolders:\n-" + "\n-".join(subfolders))
@@ -169,15 +165,15 @@ def run_in_folders(args, folders) -> int:
             args.input_folder = str(folder)
             run(args)
         except KeyboardInterrupt:
-            logger.warning("Keyboard Interrupt received. Terminating...")
+            logger.warning("Interrupted by the user; stopping the batch.")
             break
         except Exception as e:  # noqa: BLE001 — batch isolation by design
             errors.append((folder, e))
-            logger.error(f"An error occured while processing {folder}. Continuing...")
+            logger.error(
+                f"Processing failed for {folder}; continuing with the rest."
+            )
     if errors:
-        logger.error(
-            f"{len(errors)} out of {len(folders)} folders terminated with errors."
-        )
+        logger.error(f"{len(errors)}/{len(folders)} folders raised errors:")
         for folder, exc in errors:
             logger.error(f"In {folder}", exc_info=exc)
     return 1 if errors else 0
@@ -241,21 +237,24 @@ def run(args) -> int:
 
 
 def find_subfolders(path, name):
-    """BFS for subfolders named ``name``; stops descending at matches
-    (reference cli.py:329-354)."""
-    found = []
-    to_visit = deque([Path(path)])
-    visited = set()
-    while to_visit:
-        current = to_visit.popleft()
-        if current.is_dir() and current not in visited:
-            visited.add(current)
-            if current.name == name:
-                found.append(str(current))
+    """Every directory named ``name`` under ``path`` (reference cli.py:329-354).
+
+    Matching directories are pruned from the walk — they may hold thousands
+    of frames, and the batch driver only needs the directory path itself.
+    """
+    top = Path(path)
+    if top.is_dir() and top.name == name:
+        return [str(top)]
+    matches = []
+    for root, dirnames, _ in os.walk(path):
+        remaining = []
+        for d in dirnames:
+            if d == name:
+                matches.append(os.path.join(root, d))
             else:
-                for child in current.iterdir():
-                    to_visit.append(child)
-    return found
+                remaining.append(d)
+        dirnames[:] = remaining  # prune matched dirs from descent
+    return matches
 
 
 if __name__ == "__main__":

@@ -49,13 +49,43 @@ class TestCLI:
         assert args.order == [0, 1, 2, 3, 4, 5, 6]
         assert args.solver == "parity"
 
-    def test_skip_estimation_resume(self, working_images, golden_3d):
-        """--skip-pose-estimation recalibrates from the saved result."""
+    def test_skip_estimation_resume_subprocess(self, working_images, golden_3d):
+        """Process-level CLI run: default output dir + recalibration.
+
+        Mirrors the reference's subprocess CLI test
+        (/root/reference/tests/test_df3d.py:330-364): the CLI is driven as
+        its own process (console-script code path: ``cli.main()`` on
+        ``sys.argv``), the output folder is left to default to
+        ``<input>_df3d``, and correctness is asserted on the result pickle.
+        The seeded 3D data is corrupted first so the assertion can only
+        pass if the recalculation actually ran.
+        """
         out_dir, path = _seed_result(working_images, golden_3d)
-        args = cli.parse_cli_args(
-            [working_images, "--skip-pose-estimation", "--output-folder", out_dir]
+        with open(path, "rb") as f:
+            seeded = pickle.load(f)
+        seeded["points3d"] = np.zeros_like(seeded["points3d"])
+        seeded["points3d_wo_procrustes"] = np.zeros_like(
+            seeded["points3d_wo_procrustes"]
         )
-        assert cli.run(args) == 0
+        with open(path, "wb") as f:
+            pickle.dump(seeded, f)
+
+        # nothing_to_do semantics (reference cli.py:282-288): skip-estimation
+        # alone is a no-op, so a video flag is required to trigger the
+        # recalibrate+save path.
+        code = (
+            "import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "import sys; from deepfly3d_tpu.cli import main; "
+            f"sys.argv = ['df3d-cli', {working_images!r}, "
+            "'--skip-pose-estimation', '--video-2d', '--output-fps', '5']; "
+            "sys.exit(main())"
+        )
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        res = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, cwd=repo_root,
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
         with open(path, "rb") as f:
             saved = pickle.load(f)
         np.testing.assert_allclose(
@@ -66,6 +96,21 @@ class TestCLI:
         np.testing.assert_allclose(
             saved["points3d"], golden_3d["points3d"], atol=1e-5
         )
+        name = "video_pose2d_" + working_images.replace("/", "_") + ".mp4"
+        assert os.path.exists(os.path.join(out_dir, name))
+
+    def test_console_entry_points_resolve(self):
+        """[project.scripts] targets must import (packaging regression guard)."""
+        import importlib
+        import tomllib
+
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(repo_root, "pyproject.toml"), "rb") as f:
+            scripts = tomllib.load(f)["project"]["scripts"]
+        assert set(scripts) == {"df3d-cli", "df3d"}
+        for target in scripts.values():
+            module, attr = target.split(":")
+            assert callable(getattr(importlib.import_module(module), attr))
 
     def test_nothing_to_do(self, working_images):
         args = cli.parse_cli_args([working_images, "--skip-pose-estimation"])
