@@ -109,6 +109,60 @@ def build_pipeline(spec, variables, calib, camera_ordering, compute_dtype):
     return pipeline
 
 
+def bench_bundle_adjust():
+    """Second half of the BASELINE metric: bundle-adjustment ms/recording.
+
+    Times both solvers on the golden recording (7 cams x 15 frames x 38
+    joints, the BASELINE workload) in the production configuration — x64
+    geometry pinned to the host CPU backend (utils/devices.geometry_device;
+    TPU f64 emulation turns this stage into a multi-minute stall):
+
+    * ``lm``      — the TPU-native Schur-complement Levenberg-Marquardt
+                    (jittable/vmappable; the fleet driver's default).
+    * ``parity``  — the reference-equivalent scipy TRF optimizer (the CLI
+                    default: bit-reproduces the golden calibration).
+
+    Returns (lm_ms, parity_ms).  ``vs_baseline`` for this metric is the
+    reference-equivalent time divided by the lm time (>1 = faster than the
+    reference's own solver on the same host).
+    """
+    import pickle
+
+    # BA is an x64 stage in production (package __init__ enables x64; this
+    # script disabled it for the pure f32/bf16 inference path above).
+    jax.config.update("jax_enable_x64", True)
+    from deepfly3d_tpu.ops import bundle_adjust as ba_mod
+    from deepfly3d_tpu.utils.devices import geometry_device
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(root, "tests", "data", "reference_df3d",
+                           "df3d_result_2d.pkl"), "rb") as f:
+        golden = pickle.load(f)
+    with open(os.path.join(root, "data", "calib.pkl"), "rb") as f:
+        prior = pickle.load(f)
+    prior = {
+        cidx: prior[idx] for idx, cidx in enumerate(golden["camera_ordering"])
+    }
+    pts = golden["points2d"]
+    image_shape = (IMAGE_W, IMAGE_H)
+
+    timings = {}
+    with geometry_device():
+        for solver in ("lm", "parity"):
+            run = lambda: ba_mod.bundle_adjust(
+                pts, prior, image_shape, solver=solver
+            )
+            res = run()  # warmup: jit compiles (lm) / trace caches (parity)
+            assert res.cost_final < res.cost_initial, solver
+            samples = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                run()
+                samples.append((time.perf_counter() - t0) * 1e3)
+            timings[solver] = min(samples)
+    return timings["lm"], timings["parity"]
+
+
 def main():
     import pickle
 
@@ -165,6 +219,21 @@ def main():
     dt = time.perf_counter() - t0
 
     fps = T * iters / dt
+
+    # second BASELINE metric: bundle-adjust ms/recording (after the fps
+    # measurement so the x64 re-enable cannot perturb the hot-path compile)
+    lm_ms, parity_ms = bench_bundle_adjust()
+    print(
+        json.dumps(
+            {
+                "metric": "bundle-adjust ms/recording (lm solver; baseline ="
+                          " reference-equivalent scipy TRF on same host)",
+                "value": round(lm_ms, 2),
+                "unit": "ms",
+                "vs_baseline": round(parity_ms / lm_ms, 4),
+            }
+        )
+    )
     print(
         json.dumps(
             {
