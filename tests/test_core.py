@@ -247,10 +247,13 @@ class TestPictorial:
         # corrected 2D stays near the image (allow small out-of-frame slack
         # from reprojection of 3D hypotheses)
         assert (changed > -0.5).all() and (changed < 1.5).all()
-        # MAP legs should stay close to the argmax legs on clean data:
-        # median shift well under 10% of the image
+        # MAP legs must essentially agree with the argmax legs on clean
+        # data (measured ~1e-3 normalized; 0.01 = ~5-10 px leaves headroom
+        # for retrained weights while still catching a broken MAP — the
+        # quantitative outlier-recovery contract lives in
+        # tests/test_pictorial.py::TestGoldenCorruptionRecovery)
         shift = np.abs(core.points2d[0, :, :15] - before[0, :, :15])
-        assert np.median(shift) < 0.1
+        assert np.median(shift) < 0.01
 
 
 def result_schema_extract_calib(golden):
