@@ -126,7 +126,7 @@ class CameraNetwork:
     def triangulate(self) -> np.ndarray:
         import jax.numpy as jnp
 
-        R, tvec, intr, _ = geometry.calib_to_arrays(self.calib, self.num_cameras)
+        R, tvec, intr, dist = geometry.calib_to_arrays(self.calib, self.num_cameras)
         self.points3d = np.asarray(
             geometry.triangulate(
                 jnp.asarray(self._points2d_rowcol),
@@ -134,6 +134,7 @@ class CameraNetwork:
                 jnp.asarray(tvec),
                 jnp.asarray(intr),
                 self.image_shape,
+                distort=jnp.asarray(dist),
             )
         )
         return self.points3d

@@ -399,7 +399,7 @@ class Core:
         import jax.numpy as jnp
 
         assert self.has_calibration, "Calibrate first."
-        R, tvec, intr, _ = geometry.calib_to_arrays(
+        R, tvec, intr, dist = geometry.calib_to_arrays(
             self.calib, self.config.num_cameras
         )
         with geometry_device():
@@ -410,6 +410,7 @@ class Core:
                     jnp.asarray(tvec),
                     jnp.asarray(intr),
                     tuple(self._image_shape),
+                    distort=jnp.asarray(dist),
                 )
             )
         return self._points3d_wo

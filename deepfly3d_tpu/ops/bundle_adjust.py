@@ -58,7 +58,8 @@ def _prepare(points2d_rowcol: np.ndarray, calib_prior: Dict[int, dict], image_sh
     R0, t0, K, dist = geometry.calib_to_arrays(calib_prior, C)
     p2 = jnp.asarray(points2d_rowcol, dtype=jnp.float64)
     pts0 = geometry.triangulate(
-        p2, jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(K), image_shape
+        p2, jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(K), image_shape,
+        distort=jnp.asarray(dist),
     )
     obs = np.asarray(geometry.rowcol_to_pixel_xy(p2, image_shape))
     mask = np.asarray(geometry.observation_mask(p2))
@@ -83,6 +84,12 @@ def _bundle_adjust_parity(
     C, R0, t0, K, dist, pts0, obs, mask = _prepare(
         points2d_rowcol, calib_prior, image_shape
     )
+    if np.any(dist != 0):
+        raise NotImplementedError(
+            "the parity solver replicates the reference's pinhole residual "
+            "(the fly rig has distort == 0); use solver='lm', whose residual "
+            "model applies the full 5-coefficient distortion"
+        )
     T, J = pts0.shape[:2]
     n_pts = T * J
 

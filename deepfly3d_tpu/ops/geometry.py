@@ -98,6 +98,29 @@ def distort_points(xy: jnp.ndarray, dist: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([x * radial + x_t, y * radial + y_t], axis=-1)
 
 
+def undistort_points(
+    xy_dist: jnp.ndarray, dist: jnp.ndarray, iters: int = 8
+) -> jnp.ndarray:
+    """Inverse of :func:`distort_points` on normalized coords (..., 2).
+
+    Fixed-point iteration (the OpenCV ``undistortPoints`` scheme): solve
+    ``distort(x) = x_dist`` by ``x <- (x_dist - tangential(x)) / radial(x)``.
+    Exact identity when all coefficients are zero, so zero-distortion rigs
+    (the fly rig: distort == 0 in data/calib.pkl) are bit-unchanged.
+    """
+    k1, k2, p1, p2, k3 = dist[0], dist[1], dist[2], dist[3], dist[4]
+    xd, yd = xy_dist[..., 0], xy_dist[..., 1]
+    x, y = xd, yd
+    for _ in range(iters):  # unrolled: fixed trip count, jit-friendly
+        r2 = x * x + y * y
+        radial = 1.0 + k1 * r2 + k2 * r2 * r2 + k3 * r2 * r2 * r2
+        dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        x = (xd - dx) / radial
+        y = (yd - dy) / radial
+    return jnp.stack([x, y], axis=-1)
+
+
 def project(
     points3d: jnp.ndarray,
     R: jnp.ndarray,
@@ -145,6 +168,20 @@ def rowcol_to_pixel_xy(
     return jnp.stack(
         [points2d_rowcol[..., 1] * width, points2d_rowcol[..., 0] * height], axis=-1
     )
+
+
+def _undistort_pixels(
+    uv: jnp.ndarray, intr: jnp.ndarray, dist: jnp.ndarray
+) -> jnp.ndarray:
+    """Distorted pixel (..., 2) -> ideal-pinhole pixel, one camera."""
+    fx, gamma, cx = intr[0, 0], intr[0, 1], intr[0, 2]
+    fy, cy = intr[1, 1], intr[1, 2]
+    yn = (uv[..., 1] - cy) / fy
+    xn = (uv[..., 0] - cx - gamma * yn) / fx
+    xy = undistort_points(jnp.stack([xn, yn], axis=-1), dist)
+    u = fx * xy[..., 0] + gamma * xy[..., 1] + cx
+    v = fy * xy[..., 1] + cy
+    return jnp.stack([u, v], axis=-1)
 
 
 # ------------------------------------------------------------- triangulation
@@ -260,6 +297,7 @@ def triangulate(
     intr: jnp.ndarray,
     image_shape: Tuple[int, int],
     method: str = "svd",
+    distort: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """DLT-triangulate every (frame, joint).
 
@@ -267,11 +305,19 @@ def triangulate(
     Returns (T, J, 3) world points; zeros where fewer than two cameras see
     the joint.  Equivalent of pyba's ``CameraNetwork.triangulate`` (called at
     reference core.py:355-356); validated to 4e-15 against the golden pickle.
+
+    ``distort``: optional (C, 5) OpenCV coefficients. When given, pixel
+    observations are undistorted (iterative model inverse through K^-1)
+    before the linear DLT — required for rigs with real lenses (the H3.6M
+    profile); with zero coefficients the correction is an exact identity,
+    so the fly rig's golden parity is untouched.
     """
     C, T, J, _ = points2d_rowcol.shape
     P = projection_matrices(R, tvec, intr)  # (C, 3, 4)
     obs = rowcol_to_pixel_xy(points2d_rowcol, image_shape)  # (C,T,J,2)
     mask = observation_mask(points2d_rowcol)  # (C,T,J)
+    if distort is not None:
+        obs = jax.vmap(_undistort_pixels)(obs, intr, distort)
 
     obs_flat = obs.reshape(C, T * J, 2).transpose(1, 0, 2)  # (TJ, C, 2)
     mask_flat = mask.reshape(C, T * J).T  # (TJ, C)

@@ -68,6 +68,53 @@ class TestProjection:
         )
         np.testing.assert_allclose(back, pts, atol=1e-8)
 
+    def test_undistort_round_trip(self):
+        """undistort_points inverts the full 5-coefficient model."""
+        rng = np.random.default_rng(7)
+        xy = jnp.asarray(rng.uniform(-0.3, 0.3, size=(50, 2)))
+        dist = jnp.asarray([-0.2, 0.05, 1e-3, -2e-3, 0.01])
+        back = geometry.undistort_points(geometry.distort_points(xy, dist), dist)
+        np.testing.assert_allclose(back, xy, atol=1e-10)
+
+    def test_distorted_triangulation_round_trip(self):
+        """Synthetic distorted rig (k1 != 0): project with distortion,
+        triangulate with the distortion-aware DLT, recover 3D at 1e-5
+        (VERDICT r1 item 8 — H3.6M-style rigs have real lenses)."""
+        rng = np.random.default_rng(11)
+        C = 4
+        K = np.tile(
+            np.asarray([[1100.0, 0, 500], [0, 1100.0, 500], [0, 0, 1]]), (C, 1, 1)
+        )
+        dist = np.zeros((C, 5))
+        dist[:, 0] = [-0.21, -0.19, -0.18, -0.22]   # strong barrel k1
+        dist[:, 1] = 0.04                            # k2
+        dist[:, 2:4] = 1e-3                          # tangential
+        Rs, ts = [], []
+        for c in range(C):
+            Rs.append(np.asarray(
+                geometry.rodrigues(jnp.asarray([0.0, c * np.pi / 2, 0.0]))
+            ))
+            ts.append(np.asarray([0.0, 0.0, 6.0]))
+        R, tvec = np.stack(Rs), np.stack(ts)
+        pts = rng.normal(size=(3, 8, 3)) * 0.4
+        image_shape = (1000, 1000)
+        p2 = jax.vmap(
+            lambda R_, t_, K_, d_: geometry.project_normalized_rowcol(
+                jnp.asarray(pts), R_, t_, K_, d_, image_shape
+            )
+        )(jnp.asarray(R), jnp.asarray(tvec), jnp.asarray(K), jnp.asarray(dist))
+        # without undistortion the linear DLT is visibly biased ...
+        biased = geometry.triangulate(
+            p2, jnp.asarray(R), jnp.asarray(tvec), jnp.asarray(K), image_shape
+        )
+        assert np.abs(np.asarray(biased) - pts).max() > 1e-3
+        # ... with it the round trip closes
+        back = geometry.triangulate(
+            p2, jnp.asarray(R), jnp.asarray(tvec), jnp.asarray(K), image_shape,
+            distort=jnp.asarray(dist),
+        )
+        np.testing.assert_allclose(back, pts, atol=1e-5)
+
     def test_distortion_zero_is_identity(self):
         xy = jnp.asarray(np.random.default_rng(2).normal(size=(10, 2)))
         out = geometry.distort_points(xy, jnp.zeros(5))
