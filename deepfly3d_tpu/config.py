@@ -141,8 +141,11 @@ def h36m_config() -> Config:
             num_stacks=4,
             num_features=128,
             num_predict=h36m.num_joints,
-            input_shape=(256, 256),
-            heatmap_shape=(64, 64),
+            # higher-res than the fly profile (BASELINE config #4: "deeper
+            # hourglass stack, higher-res heatmaps"): 96x96 = 9216 cells vs
+            # the fly's 64x128 = 8192
+            input_shape=(384, 384),
+            heatmap_shape=(96, 96),
             checkpoint=os.path.join(_WEIGHTS_DIR, "hourglass_h36m.npz"),
         ),
     )
