@@ -42,6 +42,13 @@ class HourglassSpec:
     expansion: int = 2          # bottleneck output = mid * expansion
     compute_dtype: Any = jnp.float32
     bn_momentum: float = 0.99   # batch-stat EMA; 0.0 = adopt batch stats
+    # "conv": 7x7/2 conv + residual + pool (the classic hourglass stem —
+    #         its high-res convs run at ~14% of the TPU conv roofline and
+    #         dominated the round-1 profile);
+    # "patchify": non-overlapping 4x4 patch embedding, one (HW/16, 48) x
+    #         (48, features) matmul straight onto the MXU — goes directly
+    #         to heatmap resolution with zero high-res convolutions.
+    stem: str = "conv"
 
 
 class Bottleneck(nn.Module):
@@ -136,19 +143,35 @@ class HourglassNet(nn.Module):
         mom = s.bn_momentum
         x = x.astype(dt)
 
-        # stem: /2 conv, residual, /2 pool, residuals -> features @ H/4
-        y = nn.Conv(s.features // 2, (7, 7), strides=(2, 2), padding=3,
-                    use_bias=True, dtype=dt, name="stem_conv")(x)
-        y = nn.BatchNorm(use_running_average=not train, dtype=dt,
-                         momentum=mom, name="stem_bn")(y)
-        y = nn.relu(y)
-        y = Bottleneck(s.features, dtype=dt, momentum=mom,
-                       name="stem_res1")(y, train)
-        y = nn.max_pool(y, (2, 2), strides=(2, 2))
-        y = Bottleneck(s.features, dtype=dt, momentum=mom,
-                       name="stem_res2")(y, train)
-        y = Bottleneck(s.features, dtype=dt, momentum=mom,
-                       name="stem_res3")(y, train)
+        if s.stem == "patchify":
+            # 4x4 space-to-depth + linear embed: one MXU matmul from pixels
+            # to trunk features at H/4 x W/4, then two low-res residuals
+            n, h, w, c = x.shape
+            y = x.reshape(n, h // 4, 4, w // 4, 4, c)
+            y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 4, w // 4, 16 * c)
+            y = nn.Conv(s.features, (1, 1), use_bias=True, dtype=dt,
+                        name="patch_embed")(y)
+            y = nn.BatchNorm(use_running_average=not train, dtype=dt,
+                             momentum=mom, name="stem_bn")(y)
+            y = nn.relu(y)
+            y = Bottleneck(s.features, dtype=dt, momentum=mom,
+                           name="stem_res2")(y, train)
+            y = Bottleneck(s.features, dtype=dt, momentum=mom,
+                           name="stem_res3")(y, train)
+        else:
+            # stem: /2 conv, residual, /2 pool, residuals -> features @ H/4
+            y = nn.Conv(s.features // 2, (7, 7), strides=(2, 2), padding=3,
+                        use_bias=True, dtype=dt, name="stem_conv")(x)
+            y = nn.BatchNorm(use_running_average=not train, dtype=dt,
+                             momentum=mom, name="stem_bn")(y)
+            y = nn.relu(y)
+            y = Bottleneck(s.features, dtype=dt, momentum=mom,
+                           name="stem_res1")(y, train)
+            y = nn.max_pool(y, (2, 2), strides=(2, 2))
+            y = Bottleneck(s.features, dtype=dt, momentum=mom,
+                           name="stem_res2")(y, train)
+            y = Bottleneck(s.features, dtype=dt, momentum=mom,
+                           name="stem_res3")(y, train)
 
         outputs = []
         for i in range(s.num_stacks):
@@ -203,6 +226,7 @@ def save_weights(path: str, variables, spec: HourglassSpec) -> None:
         "__spec__/num_classes": spec.num_classes,
         "__spec__/expansion": spec.expansion,
         "__spec__/bn_momentum": float(spec.bn_momentum),
+        "__spec__/stem": spec.stem,
     }
     np.savez(path, **arrays, **{k: np.asarray(v) for k, v in meta.items()})
 
@@ -219,9 +243,12 @@ def load_weights(path: str):
         if k.startswith("__spec__/"):
             field = k.split("/", 1)[1]
             value = data[k].item()
-            spec_kwargs[field] = (
-                float(value) if field == "bn_momentum" else int(value)
-            )
+            if field == "stem":
+                spec_kwargs[field] = str(value)
+            elif field == "bn_momentum":
+                spec_kwargs[field] = float(value)
+            else:
+                spec_kwargs[field] = int(value)
         else:
             arrays[k] = jnp.asarray(data[k])
     spec = HourglassSpec(**spec_kwargs)

@@ -1,0 +1,99 @@
+"""Forward-path architecture sweep on the real TPU.
+
+Times the FULL jitted pipeline (uint8 frames -> preprocess -> hourglass ->
+decode -> DLT) from bench.py for candidate student architectures with
+freshly-initialized weights — throughput depends only on the architecture,
+so this predicts the headline fps before any training run is spent.
+
+Run (serialize with other TPU work!):  python scripts/bench_net_variants.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ["DF3D_TPU_DISABLE_X64"] = "1"
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import bench
+from deepfly3d_tpu.models.hourglass import HourglassNet, HourglassSpec
+from deepfly3d_tpu.ops import geometry
+
+VARIANTS = {
+    # round 2 sweep #1 (T=128, 256x512 input, full pipeline):
+    #   r1-trained(f96,s2,conv) 626 | s1-f96-conv 847 | s1-f128-patch 1056
+    #   s1-f64-patch 1601 | s1-f128-patch-d3 1058 | s2-f128-patch 671
+    #   s1-f256-patch-d3 630   -> f64 beats f128 (conv MFU doesn't pay for
+    #   2x FLOPs); single stack + patchify stem is the winning family.
+    # sweep #2: shrink the input (192x384 -> 48x96 heatmaps, decode grid
+    # error 1/96 = 0.0104 normalized, still inside the 0.02 contract).
+    "s1-f64-patch": dict(num_stacks=1, features=64, stem="patchify"),
+    "s1-f64-patch-192x384": dict(
+        num_stacks=1, features=64, stem="patchify", input=(192, 384)
+    ),
+    "s1-f64-patch-d3-192x384": dict(
+        num_stacks=1, features=64, stem="patchify", depth=3, input=(192, 384)
+    ),
+    "s1-f128-patch-192x384": dict(
+        num_stacks=1, features=128, stem="patchify", input=(192, 384)
+    ),
+    "s1-f64-patch-d3": dict(num_stacks=1, features=64, stem="patchify", depth=3),
+    "s1-f32-patch": dict(num_stacks=1, features=32, stem="patchify"),
+}
+
+
+def main():
+    import pickle
+
+    T = int(os.environ.get("DF3D_BENCH_T", "128"))
+    iters = int(os.environ.get("DF3D_BENCH_ITERS", "4"))
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "data", "calib.pkl"), "rb") as f:
+        calib_dict = pickle.load(f)
+    calib = geometry.calib_to_arrays(calib_dict, 7, dtype=np.float32)
+
+    frames = jax.jit(
+        lambda key: jax.random.randint(
+            key, (T, 7, 480, 960, 3), 0, 255, jnp.uint8
+        )
+    )(jax.random.PRNGKey(0))
+    jax.block_until_ready(frames)
+
+    results = {}
+    for name, kw in VARIANTS.items():
+        kw = dict(kw)
+        input_shape = kw.pop("input", (256, 512))
+        bench.INPUT_SHAPE = input_shape  # build_pipeline reads the global
+        spec = HourglassSpec(num_classes=19, compute_dtype=jnp.bfloat16, **kw)
+        model = HourglassNet(spec)
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1,) + input_shape + (3,), jnp.float32),
+            train=False,
+        )
+        pipeline = bench.build_pipeline(
+            spec, variables, calib, np.arange(7), jnp.float32
+        )
+        out = pipeline(frames)
+        jax.block_until_ready(out)          # compile + warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = pipeline(frames)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        fps = T * iters / dt
+        results[name] = fps
+        print(f"{name:28s} {fps:8.1f} frames/s  ({dt / iters * 1e3:.1f} ms/dispatch)",
+              flush=True)
+
+    best = max(results, key=results.get)
+    print(f"\nbest: {best} at {results[best]:.1f} frames/s")
+
+
+if __name__ == "__main__":
+    main()

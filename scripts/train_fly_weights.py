@@ -34,8 +34,6 @@ IMAGES = os.path.join(REPO, "tests/data/reference")
 GOLDEN = os.path.join(REPO, "tests/data/reference_df3d/df3d_result_2d.pkl")
 OUT = os.path.join(REPO, "weights/hourglass_fly.npz")
 
-INPUT_SHAPE = (256, 512)
-HEATMAP_SHAPE = (64, 128)
 NUM_CAMERAS, T = 7, 15
 
 
@@ -43,6 +41,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=16000)
     ap.add_argument("--features", type=int, default=96)
+    ap.add_argument("--stacks", type=int, default=2)
+    ap.add_argument("--stem", choices=["conv", "patchify"], default="conv",
+                    help="'patchify' is the TPU student stem: a 4x4 patch "
+                         "embedding (one MXU matmul) instead of high-res "
+                         "stem convolutions")
+    ap.add_argument("--depth", type=int, default=4)
+    ap.add_argument("--input", default="256x512",
+                    help="network input HxW; heatmaps are input/4")
     ap.add_argument("--batch-size", type=int, default=24)
     ap.add_argument("--lr", type=float, default=3e-3)
     ap.add_argument("--sigma", type=float, default=1.25)
@@ -55,7 +61,12 @@ def main():
                     help="fine-tune from the existing checkpoint")
     args = ap.parse_args()
 
+    h, w = (int(v) for v in args.input.split("x"))
+    INPUT_SHAPE = (h, w)
+    HEATMAP_SHAPE = (h // 4, w // 4)
+
     print("devices:", jax.devices(), flush=True)
+    print("input:", INPUT_SHAPE, "heatmaps:", HEATMAP_SHAPE, flush=True)
 
     with open(GOLDEN, "rb") as f:
         golden = pickle.load(f)
@@ -103,7 +114,8 @@ def main():
         print(f"resuming from {args.out} (features={spec.features})", flush=True)
     else:
         spec = HourglassSpec(
-            num_stacks=2, features=args.features, num_classes=19
+            num_stacks=args.stacks, features=args.features,
+            depth=args.depth, stem=args.stem, num_classes=19,
         )
     golden_p2 = golden["points2d"]
     golden_conf = golden["heatmap_confidence"]
