@@ -156,86 +156,143 @@ def _bundle_adjust_parity(
 # ================================================================== LM solver
 
 
-def _project_one(cam6, K, dist, point):
-    """Residual model for one observation: cam6 = (rvec, tvec)."""
-    R = geometry.rodrigues(cam6[:3])
-    Xc = R @ point + cam6[3:]
+def cam_param_size(update_intrinsic: bool, update_distort: bool) -> int:
+    """Per-camera parameter count: rvec(3) + tvec(3) [+ fx,fy,cx,cy] [+ 5]."""
+    return 6 + (4 if update_intrinsic else 0) + (5 if update_distort else 0)
+
+
+def _unpack_cam(cam_vec, K0, dist0, update_intrinsic: bool, update_distort: bool):
+    """cam_vec (P,) -> (rvec, tvec, K, dist); optimized blocks override the
+    fixed K0/dist0 (skew stays fixed — it is not an OpenCV parameter)."""
+    rvec, tvec = cam_vec[:3], cam_vec[3:6]
+    off = 6
+    K, dist = K0, dist0
+    if update_intrinsic:
+        fx, fy, cx, cy = (cam_vec[off + i] for i in range(4))
+        K = jnp.asarray(
+            [[fx, K0[0, 1], cx], [0.0, fy, cy], [0.0, 0.0, 1.0]],
+            dtype=cam_vec.dtype,
+        )
+        off += 4
+    if update_distort:
+        dist = cam_vec[off : off + 5]
+    return rvec, tvec, K, dist
+
+
+def _pack_cam(R, tvec, K, dist, update_intrinsic: bool, update_distort: bool):
+    """Inverse of :func:`_unpack_cam` for the initial parameter vector."""
+    parts = [np.asarray(geometry.inv_rodrigues(jnp.asarray(R))), np.asarray(tvec)]
+    if update_intrinsic:
+        parts.append(np.asarray([K[0, 0], K[1, 1], K[0, 2], K[1, 2]]))
+    if update_distort:
+        parts.append(np.asarray(dist))
+    return np.concatenate(parts)
+
+
+def _project_one(cam_vec, K, dist, point,
+                 update_intrinsic: bool = False, update_distort: bool = False):
+    """Residual model for one observation; cam_vec per cam_param_size."""
+    rvec, tvec, K, dist = _unpack_cam(
+        cam_vec, K, dist, update_intrinsic, update_distort
+    )
+    R = geometry.rodrigues(rvec)
+    Xc = R @ point + tvec
     xy = Xc[:2] / Xc[2]
     xy = geometry.distort_points(xy[None], dist)[0]
     return jnp.array(
-        [K[0, 0] * xy[0] + K[0, 2], K[1, 1] * xy[1] + K[1, 2]], dtype=cam6.dtype
+        [
+            K[0, 0] * xy[0] + K[0, 1] * xy[1] + K[0, 2],
+            K[1, 1] * xy[1] + K[1, 2],
+        ],
+        dtype=cam_vec.dtype,
     )
 
 
-def _residual_grid(cams, pts, K, dist, obs, mask):
-    """(C,6),(N,3) -> masked residuals (C,N,2)."""
+def _residual_grid(cams, pts, K, dist, obs, mask,
+                   update_intrinsic=False, update_distort=False):
+    """(C,P),(N,3) -> masked residuals (C,N,2)."""
     proj = jax.vmap(  # over cameras
-        lambda c6, K_, d_: jax.vmap(lambda p: _project_one(c6, K_, d_, p))(pts)
+        lambda c6, K_, d_: jax.vmap(
+            lambda p: _project_one(c6, K_, d_, p,
+                                   update_intrinsic, update_distort)
+        )(pts)
     )(cams, K, dist)
     return (proj - obs) * mask[..., None]
 
 
-def _cost(cams, pts, K, dist, obs, mask):
-    r = _residual_grid(cams, pts, K, dist, obs, mask)
+def _cost(cams, pts, K, dist, obs, mask,
+          update_intrinsic=False, update_distort=False):
+    r = _residual_grid(cams, pts, K, dist, obs, mask,
+                       update_intrinsic, update_distort)
     return 0.5 * jnp.sum(r * r)
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
-def _lm_solve(cams0, pts0, K, dist, obs, mask, max_iters: int = 30):
+@partial(
+    jax.jit,
+    static_argnames=("max_iters", "update_intrinsic", "update_distort"),
+)
+def _lm_solve(cams0, pts0, K, dist, obs, mask, max_iters: int = 30,
+              update_intrinsic: bool = False, update_distort: bool = False):
     """Schur-complement Levenberg–Marquardt.
 
-    cams0 (C,6), pts0 (N,3), obs (C,N,2), mask (C,N) float.
-    Returns (cams, pts, cost0, cost, iters).
+    cams0 (C,P) with P = cam_param_size(...), pts0 (N,3), obs (C,N,2),
+    mask (C,N) float.  Returns (cams, pts, cost0, cost, iters).
     """
     C = cams0.shape[0]
+    P = cams0.shape[1]
     N = pts0.shape[0]
     dtype = cams0.dtype
+    flags = (update_intrinsic, update_distort)
 
     def jacobians(cams, pts):
         jc = jax.vmap(
             lambda c6, K_, d_: jax.vmap(
-                lambda p: jax.jacfwd(_project_one, argnums=0)(c6, K_, d_, p)
+                lambda p: jax.jacfwd(_project_one, argnums=0)(
+                    c6, K_, d_, p, *flags
+                )
             )(pts)
-        )(cams, K, dist)  # (C,N,2,6)
+        )(cams, K, dist)  # (C,N,2,P)
         jp = jax.vmap(
             lambda c6, K_, d_: jax.vmap(
-                lambda p: jax.jacfwd(_project_one, argnums=3)(c6, K_, d_, p)
+                lambda p: jax.jacfwd(_project_one, argnums=3)(
+                    c6, K_, d_, p, *flags
+                )
             )(pts)
         )(cams, K, dist)  # (C,N,2,3)
         m = mask[..., None, None]
         return jc * m, jp * m
 
     def step(cams, pts, lam):
-        r = _residual_grid(cams, pts, K, dist, obs, mask)  # (C,N,2)
+        r = _residual_grid(cams, pts, K, dist, obs, mask, *flags)  # (C,N,2)
         jc, jp = jacobians(cams, pts)
         # normal-equation blocks
-        U = jnp.einsum("cnri,cnrj->cij", jc, jc)           # (C,6,6)
+        U = jnp.einsum("cnri,cnrj->cij", jc, jc)           # (C,P,P)
         V = jnp.einsum("cnri,cnrj->nij", jp, jp)           # (N,3,3)
-        W = jnp.einsum("cnri,cnrj->cnij", jc, jp)          # (C,N,6,3)
-        g_c = jnp.einsum("cnri,cnr->ci", jc, r)            # (C,6)
+        W = jnp.einsum("cnri,cnrj->cnij", jc, jp)          # (C,N,P,3)
+        g_c = jnp.einsum("cnri,cnr->ci", jc, r)            # (C,P)
         g_p = jnp.einsum("cnri,cnr->ni", jp, r)            # (N,3)
 
         # Marquardt damping: scale the block diagonals
-        eye6 = jnp.eye(6, dtype=dtype)
+        eyeP = jnp.eye(P, dtype=dtype)
         eye3 = jnp.eye(3, dtype=dtype)
-        U = U + lam * (U * eye6)
+        U = U + lam * (U * eyeP)
         # tiny absolute floor guards singular blocks (unobserved points/cams)
         V = V + lam * (V * eye3) + 1e-12 * eye3
-        U = U + 1e-12 * eye6
+        U = U + 1e-12 * eyeP
 
         V_inv = jnp.linalg.inv(V)                          # (N,3,3)
-        WVi = jnp.einsum("cnij,njk->cnik", W, V_inv)       # (C,N,6,3)
-        # reduced camera system S (6C,6C)
-        S_blocks = jnp.einsum("cnik,dnjk->cdij", WVi, W)   # (C,C,6,6)
+        WVi = jnp.einsum("cnij,njk->cnik", W, V_inv)       # (C,N,P,3)
+        # reduced camera system S (PC,PC)
+        S_blocks = jnp.einsum("cnik,dnjk->cdij", WVi, W)   # (C,C,P,P)
         S = (
-            jnp.zeros((C, C, 6, 6), dtype=dtype)
+            jnp.zeros((C, C, P, P), dtype=dtype)
             .at[jnp.arange(C), jnp.arange(C)]
             .set(U)
             - S_blocks
         )
-        S = S.transpose(0, 2, 1, 3).reshape(C * 6, C * 6)
-        rhs = (g_c - jnp.einsum("cnik,nk->ci", WVi, g_p)).reshape(C * 6)
-        delta_c = jnp.linalg.solve(S, -rhs).reshape(C, 6)
+        S = S.transpose(0, 2, 1, 3).reshape(C * P, C * P)
+        rhs = (g_c - jnp.einsum("cnik,nk->ci", WVi, g_p)).reshape(C * P)
+        delta_c = jnp.linalg.solve(S, -rhs).reshape(C, P)
         delta_p = jnp.einsum(
             "nij,nj->ni",
             V_inv,
@@ -243,12 +300,12 @@ def _lm_solve(cams0, pts0, K, dist, obs, mask, max_iters: int = 30):
         )
         return cams + delta_c, pts + delta_p
 
-    cost0 = _cost(cams0, pts0, K, dist, obs, mask)
+    cost0 = _cost(cams0, pts0, K, dist, obs, mask, *flags)
 
     def body(state):
         cams, pts, lam, cost, it, done = state
         new_cams, new_pts = step(cams, pts, lam)
-        new_cost = _cost(new_cams, new_pts, K, dist, obs, mask)
+        new_cost = _cost(new_cams, new_pts, K, dist, obs, mask, *flags)
         accept = new_cost < cost
         rel_drop = (cost - new_cost) / jnp.maximum(cost, 1e-30)
         cams = jnp.where(accept, new_cams, cams)
@@ -272,20 +329,14 @@ def _bundle_adjust_lm(
     points2d_rowcol, calib_prior, image_shape, update_intrinsic, update_distort,
     max_iters: int = 30,
 ) -> BundleAdjustResult:
-    if update_intrinsic or update_distort:
-        raise NotImplementedError(
-            "intrinsic/distortion refinement lands with the extended "
-            "parameterization; the reference pipeline never enables it "
-            "(core.py:249 passes False, False)"
-        )
     C, R0, t0, K, dist, pts0, obs, mask = _prepare(
         points2d_rowcol, calib_prior, image_shape
     )
     T, J = pts0.shape[:2]
-    rvecs0 = np.stack(
-        [np.asarray(geometry.inv_rodrigues(jnp.asarray(R0[c]))) for c in range(C)]
-    )
-    cams0 = jnp.asarray(np.concatenate([rvecs0, t0], axis=1))
+    cams0 = jnp.asarray(np.stack([
+        _pack_cam(R0[c], t0[c], K[c], dist[c], update_intrinsic, update_distort)
+        for c in range(C)
+    ]))
     cams, pts, cost0, cost, iters = _lm_solve(
         cams0,
         jnp.asarray(pts0.reshape(-1, 3)),
@@ -294,12 +345,22 @@ def _bundle_adjust_lm(
         jnp.asarray(obs.reshape(C, -1, 2)),
         jnp.asarray(mask.reshape(C, -1), dtype=cams0.dtype),
         max_iters=max_iters,
+        update_intrinsic=update_intrinsic,
+        update_distort=update_distort,
     )
     cams = np.asarray(cams)
-    R_out = np.stack(
-        [np.asarray(geometry.rodrigues(jnp.asarray(cams[c, :3]))) for c in range(C)]
+    R_out, K_out, d_out = [], [], []
+    for c in range(C):
+        rvec, tvec, K_c, d_c = _unpack_cam(
+            jnp.asarray(cams[c]), jnp.asarray(K[c]), jnp.asarray(dist[c]),
+            update_intrinsic, update_distort,
+        )
+        R_out.append(np.asarray(geometry.rodrigues(rvec)))
+        K_out.append(np.asarray(K_c))
+        d_out.append(np.asarray(d_c))
+    calib_out = geometry.arrays_to_calib(
+        np.stack(R_out), cams[:, 3:6], np.stack(K_out), np.stack(d_out)
     )
-    calib_out = geometry.arrays_to_calib(R_out, cams[:, 3:], K, dist)
     return BundleAdjustResult(
         calib=calib_out,
         points3d=np.asarray(pts).reshape(T, J, 3),

@@ -109,6 +109,66 @@ class TestLMSolver:
         )
         assert err <= err_golden * 1.05
 
+    def test_intrinsic_and_distortion_refinement(self):
+        """update_intrinsic/update_distort (the mode the reference exposes
+        but never enables, core.py:249): a prior with wrong focal lengths,
+        principal points and distortion must be refined to reproject
+        exactly on synthetic observations."""
+        rng = np.random.default_rng(3)
+        C, T, J = 4, 6, 8
+        pts_true = rng.normal(size=(T, J, 3)) * 0.3
+        W, H = 1000, 1000
+        K_true = np.stack([
+            np.asarray([[900.0 + 30 * c, 0, 480.0 + 5 * c],
+                        [0, 880.0 + 25 * c, 510.0 - 4 * c],
+                        [0, 0, 1]])
+            for c in range(C)
+        ])
+        d_true = np.zeros((C, 5))
+        d_true[:, 0] = -0.1
+        d_true[:, 1] = 0.02
+        calib_true, obs = {}, np.zeros((C, T, J, 2))
+        import jax.numpy as jnp_
+
+        for c in range(C):
+            R = np.asarray(geometry.rodrigues(
+                jnp_.asarray([0.05, np.pi / 2 * c, -0.03])))
+            tvec = np.asarray([0.0, 0.0, 6.0]) + rng.normal(size=3) * 0.02
+            calib_true[c] = {"R": R, "tvec": tvec, "intr": K_true[c],
+                             "distort": d_true[c]}
+            px = np.asarray(geometry.project(
+                jnp_.asarray(pts_true.reshape(-1, 3)), jnp_.asarray(R),
+                jnp_.asarray(tvec), jnp_.asarray(K_true[c]),
+                jnp_.asarray(d_true[c]),
+            )).reshape(T, J, 2)
+            obs[c, ..., 0] = px[..., 1] / H
+            obs[c, ..., 1] = px[..., 0] / W
+
+        # corrupt the prior's intrinsics + distortion (extrinsics exact)
+        prior = {}
+        for c in range(C):
+            K_bad = K_true[c].copy()
+            K_bad[0, 0] *= 1.03
+            K_bad[1, 1] *= 0.97
+            K_bad[0, 2] += 6.0
+            K_bad[1, 2] -= 5.0
+            prior[c] = {
+                "R": calib_true[c]["R"], "tvec": calib_true[c]["tvec"],
+                "intr": K_bad, "distort": np.zeros(5),
+            }
+        res = bundle_adjust.bundle_adjust(
+            obs, prior, (W, H), update_intrinsic=True, update_distort=True,
+            solver="lm", max_iters=60,
+        )
+        assert res.cost_final < 1e-6 * res.cost_initial
+        # refined reprojection is exact on the synthetic scene
+        R_o, t_o, K_o, d_o = geometry.calib_to_arrays(res.calib, C)
+        err = float(geometry.reprojection_error(
+            jnp_.asarray(res.points3d), jnp_.asarray(obs), jnp_.asarray(R_o),
+            jnp_.asarray(t_o), jnp_.asarray(K_o), jnp_.asarray(d_o), (W, H),
+        ))
+        assert err < 1e-4  # px
+
     def test_synthetic_exact_recovery(self):
         """Perfect synthetic observations -> LM drives cost to ~0."""
         rng = np.random.default_rng(0)
