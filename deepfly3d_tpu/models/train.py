@@ -131,6 +131,8 @@ class TrainConfig:
     seed: int = 0
     noise_scale: float = 0.0   # uniform pixel jitter (input units, ~1/255)
     freeze_bn: bool = False    # train against inference-time BN statistics
+    mse_weight: float = 1.0    # heatmap-shape loss; lower it in the final
+                               # conf fine-tune (shape fights exact peaks)
 
 
 def make_train_epoch(
@@ -141,6 +143,7 @@ def make_train_epoch(
     batch_size: int = 16,
     noise_scale: float = 0.0,
     freeze_bn: bool = False,
+    mse_weight: float = 1.0,
 ):
     """Build a jitted multi-step trainer: ``lax.scan`` over `steps_per_call`
     optimizer steps with on-device batch sampling.
@@ -184,14 +187,20 @@ def make_train_epoch(
         # the decode contract is an argmax: (a) the target cell's value must
         # equal the golden confidence, (b) the target cell must BE the
         # global max — (pred_max - pred_cell) >= 0 with equality iff so.
-        peak_err = jnp.mean((pred_cell - peak_vals) ** 2)
+        peak_sq = (pred_cell - peak_vals) ** 2
+        peak_err = jnp.mean(peak_sq)
         # the decode contract is on the global max itself — supervise it too
         # (pulls down neighbor pixels that edge past the target cell)
-        max_err = jnp.mean((pred_max - peak_vals) ** 2)
+        max_sq = (pred_max - peak_vals) ** 2
+        max_err = jnp.mean(max_sq)
+        # the acceptance criterion is a MAX over observations, so the mean
+        # alone plateaus with a few stubborn cells above tolerance — attack
+        # the worst offenders directly
+        worst = jnp.max(peak_sq) + jnp.max(max_sq)
         dominance = jnp.mean(pred_max - pred_cell)
         loss = (
-            mse
-            + peak_loss_weight * (peak_err + max_err)
+            mse_weight * mse
+            + peak_loss_weight * (peak_err + max_err + worst)
             + 10.0 * dominance
         )
         return loss, (updates["batch_stats"], mse, peak_err)
@@ -263,7 +272,7 @@ def train_overfit(
     steps_per_call = min(eval_every, cfg.steps)
     train_epoch = make_train_epoch(
         spec, tx, cfg.peak_loss_weight, steps_per_call, cfg.batch_size,
-        cfg.noise_scale, cfg.freeze_bn,
+        cfg.noise_scale, cfg.freeze_bn, cfg.mse_weight,
     )
 
     images_d = jnp.asarray(images_f32)

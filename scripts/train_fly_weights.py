@@ -54,6 +54,7 @@ def main():
     ap.add_argument("--sigma", type=float, default=1.25)
     ap.add_argument("--peak-weight", type=float, default=100.0)
     ap.add_argument("--noise", type=float, default=0.008)
+    ap.add_argument("--mse-weight", type=float, default=1.0)
     ap.add_argument("--out", default=OUT)
     ap.add_argument("--freeze-bn", action="store_true",
                     help="train against inference-time BN statistics")
@@ -127,9 +128,15 @@ def main():
         pts = np.asarray(pts).reshape(NUM_CAMERAS, T, 19, 2)
         conf = np.asarray(conf).reshape(NUM_CAMERAS, T, 19, 1)
         p38 = decode_mod.postprocess_points2d(pts, order)
+        pts_err = float(np.abs(p38 - golden_p2).max())
+        conf_err = float(np.abs(conf - golden_conf).max())
         return {
-            "pts_maxerr": float(np.abs(p38 - golden_p2).max()),
-            "conf_maxerr": float(np.abs(conf - golden_conf).max()),
+            "pts_maxerr": pts_err,
+            "conf_maxerr": conf_err,
+            # worst criterion as a fraction of its tolerance; <= 1.0 = PASS.
+            # keep_best tracks THIS, so a checkpoint can never be replaced
+            # by one that trades points parity for confidence parity.
+            "parity_ratio": max(pts_err / 0.02, conf_err / 0.002),
         }
 
     cfg = train_mod.TrainConfig(
@@ -140,12 +147,13 @@ def main():
         peak_loss_weight=args.peak_weight,
         noise_scale=args.noise,
         freeze_bn=args.freeze_bn,
+        mse_weight=args.mse_weight,
     )
     t0 = time.time()
     variables, history = train_mod.train_overfit(
         images, targets, peak_cells, peaks, spec, cfg,
         eval_fn=eval_fn, eval_every=500, init_variables=init_variables,
-        keep_best="conf_maxerr" if args.freeze_bn else None,
+        keep_best="parity_ratio" if args.freeze_bn else None,
     )
     print(f"training took {time.time()-t0:.1f}s", flush=True)
 
