@@ -166,9 +166,12 @@ def bench_bundle_adjust():
 def main():
     import pickle
 
+    global INPUT_SHAPE
     devices = jax.devices()
     if os.path.exists(WEIGHTS):
         variables, spec = load_weights(WEIGHTS)
+        if spec.input_shape is not None:
+            INPUT_SHAPE = tuple(spec.input_shape)
     else:
         spec = HourglassSpec(num_stacks=2, features=64, num_classes=19)
         model = HourglassNet(spec)
@@ -220,6 +223,19 @@ def main():
 
     fps = T * iters / dt
 
+    # MFU: XLA's own flop count for the whole pipeline program divided by
+    # the chip's measured bf16 roofline (181 TFLOP/s on this v5e-class
+    # part, scripts/ — override with DF3D_PEAK_TFLOPS for other chips).
+    peak = float(os.environ.get("DF3D_PEAK_TFLOPS", "181")) * 1e12
+    try:
+        cost = pipeline.lower(frames).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+    except Exception:
+        flops = 0.0
+    mfu = flops * iters / dt / peak if flops else None
+
     # second BASELINE metric: bundle-adjust ms/recording (after the fps
     # measurement so the x64 re-enable cannot perturb the hot-path compile)
     lm_ms, parity_ms = bench_bundle_adjust()
@@ -234,16 +250,15 @@ def main():
             }
         )
     )
-    print(
-        json.dumps(
-            {
-                "metric": "7-cam frames/sec/chip (2D hourglass + DLT 3D, e2e jitted)",
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / BASELINE_FPS, 4),
-            }
-        )
-    )
+    line = {
+        "metric": "7-cam frames/sec/chip (2D hourglass + DLT 3D, e2e jitted)",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 4),
+    }
+    if mfu is not None:
+        line["mfu"] = round(mfu, 4)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

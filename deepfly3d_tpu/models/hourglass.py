@@ -49,6 +49,11 @@ class HourglassSpec:
     #         (48, features) matmul straight onto the MXU — goes directly
     #         to heatmap resolution with zero high-res convolutions.
     stem: str = "conv"
+    # (h, w) the weights were trained at.  Convolutions are shape-
+    # polymorphic but golden parity only holds at the training resolution,
+    # so checkpoints carry it and consumers treat it as the source of
+    # truth (None = legacy checkpoint; callers fall back to their config).
+    input_shape: Optional[Tuple[int, int]] = None
 
 
 class Bottleneck(nn.Module):
@@ -228,6 +233,8 @@ def save_weights(path: str, variables, spec: HourglassSpec) -> None:
         "__spec__/bn_momentum": float(spec.bn_momentum),
         "__spec__/stem": spec.stem,
     }
+    if spec.input_shape is not None:
+        meta["__spec__/input_shape"] = np.asarray(spec.input_shape, np.int64)
     np.savez(path, **arrays, **{k: np.asarray(v) for k, v in meta.items()})
 
 
@@ -242,6 +249,9 @@ def load_weights(path: str):
     for k in data.files:
         if k.startswith("__spec__/"):
             field = k.split("/", 1)[1]
+            if field == "input_shape":
+                spec_kwargs[field] = tuple(int(v) for v in data[k])
+                continue
             value = data[k].item()
             if field == "stem":
                 spec_kwargs[field] = str(value)

@@ -113,12 +113,16 @@ class PoseEstimator:
     def __init__(
         self,
         checkpoint: str,
-        input_shape: Tuple[int, int] = (256, 512),
+        input_shape: Optional[Tuple[int, int]] = None,
         soft_argmax: bool = False,
         fused: bool = False,
     ):
         self.variables, self.spec = load_weights(checkpoint)
-        self.input_shape = tuple(input_shape)
+        # the checkpoint's training resolution is the source of truth
+        # (golden parity only holds there); the argument covers legacy
+        # checkpoints that don't declare one.
+        resolved = self.spec.input_shape or input_shape or (256, 512)
+        self.input_shape = tuple(resolved)
         self.soft_argmax = soft_argmax
         self.fused = fused
         if fused:

@@ -124,7 +124,7 @@ def process_recordings(
             images = np.concatenate([images, images[:pad]])
             flips = np.concatenate([flips, flips[:pad]])
         infer = make_sharded_infer(
-            estimator.spec, mesh, cfg.network.input_shape
+            estimator.spec, mesh, estimator.input_shape
         )
         with mesh:
             pts_all, conf_all = infer(

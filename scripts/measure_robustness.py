@@ -74,8 +74,8 @@ def evaluate(golden, order, images, flips, variables, spec, input_shape):
 def main():
     from deepfly3d_tpu.config import fly_config
 
-    input_shape = fly_config().network.input_shape
     golden, order, raw, flips, variables, spec = load_problem()
+    input_shape = spec.input_shape or fly_config().network.input_shape
     ev = lambda imgs: evaluate(
         golden, order, imgs, flips, variables, spec, input_shape
     )

@@ -40,6 +40,9 @@ def main():
 
     variables, spec = load_weights(os.path.join(REPO, "weights/hourglass_fly.npz"))
     spec = HourglassSpec(**{**spec.__dict__, "compute_dtype": jnp.bfloat16})
+    global INPUT_SHAPE
+    if spec.input_shape is not None:
+        INPUT_SHAPE = tuple(spec.input_shape)
     model = HourglassNet(spec)
 
     with open(os.path.join(REPO, "data/calib.pkl"), "rb") as f:

@@ -64,7 +64,14 @@ def main():
 
     h, w = (int(v) for v in args.input.split("x"))
     INPUT_SHAPE = (h, w)
-    HEATMAP_SHAPE = (h // 4, w // 4)
+    if args.resume and os.path.exists(args.out):
+        # a checkpoint's declared training resolution wins over --input
+        from deepfly3d_tpu.models.hourglass import load_weights
+
+        _, _spec = load_weights(args.out)
+        if _spec.input_shape is not None:
+            INPUT_SHAPE = tuple(_spec.input_shape)
+    HEATMAP_SHAPE = (INPUT_SHAPE[0] // 4, INPUT_SHAPE[1] // 4)
 
     print("devices:", jax.devices(), flush=True)
     print("input:", INPUT_SHAPE, "heatmaps:", HEATMAP_SHAPE, flush=True)
@@ -112,11 +119,16 @@ def main():
         from deepfly3d_tpu.models.hourglass import load_weights
 
         init_variables, spec = load_weights(args.out)
+        if spec.input_shape is None:
+            import dataclasses as _dc
+
+            spec = _dc.replace(spec, input_shape=INPUT_SHAPE)
         print(f"resuming from {args.out} (features={spec.features})", flush=True)
     else:
         spec = HourglassSpec(
             num_stacks=args.stacks, features=args.features,
             depth=args.depth, stem=args.stem, num_classes=19,
+            input_shape=INPUT_SHAPE,
         )
     golden_p2 = golden["points2d"]
     golden_conf = golden["heatmap_confidence"]

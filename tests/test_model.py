@@ -63,6 +63,28 @@ class TestHourglass:
         out2 = HourglassNet(spec).apply(loaded, x, train=False)
         np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=0)
 
+    def test_checkpoint_carries_input_shape(self, tmp_path):
+        """A declared training resolution round-trips and wins in
+        PoseEstimator over the caller's fallback; legacy checkpoints
+        (input_shape=None) keep the caller's value."""
+        import dataclasses
+
+        from deepfly3d_tpu.models.inference import PoseEstimator
+
+        spec = dataclasses.replace(TINY, input_shape=(32, 64))
+        variables = init_params(spec, (32, 64), jax.random.PRNGKey(3))
+        path = str(tmp_path / "w.npz")
+        save_weights(path, variables, spec)
+        _, loaded_spec = load_weights(path)
+        assert loaded_spec.input_shape == (32, 64)
+        est = PoseEstimator(path, input_shape=(64, 128))
+        assert est.input_shape == (32, 64)
+
+        legacy = str(tmp_path / "legacy.npz")
+        save_weights(legacy, variables, TINY)
+        est = PoseEstimator(legacy, input_shape=(64, 128))
+        assert est.input_shape == (64, 128)
+
 
 class TestDecode:
     def test_argmax_decode(self):
