@@ -285,6 +285,14 @@ def train_overfit(
     step = 0
     best = None
     best_vars = None
+    if keep_best is not None and eval_fn is not None and init_variables:
+        # seed with the resumed checkpoint: a fine-tune round whose every
+        # eval is worse than its starting point must return the start,
+        # not its own least-bad state
+        rec0 = eval_fn({"params": params, "batch_stats": batch_stats})
+        best = rec0[keep_best]
+        best_vars = {"params": params, "batch_stats": batch_stats}
+        print({"step": 0, **rec0}, flush=True)
     while step < cfg.steps:
         key, sub = jax.random.split(key)
         params, batch_stats, opt_state, loss, mse, peak_err = train_epoch(

@@ -60,6 +60,12 @@ def main():
                     help="train against inference-time BN statistics")
     ap.add_argument("--resume", action="store_true",
                     help="fine-tune from the existing checkpoint")
+    ap.add_argument("--oversample-hard", type=int, default=0, metavar="N",
+                    help="with --resume: images still out of tolerance "
+                         "under the loaded weights appear N extra times "
+                         "in the sampling pool (the acceptance criterion "
+                         "is a MAX over observations; uniform sampling "
+                         "under-visits the last stubborn cells)")
     args = ap.parse_args()
 
     h, w = (int(v) for v in args.input.split("x"))
@@ -150,6 +156,30 @@ def main():
             # by one that trades points parity for confidence parity.
             "parity_ratio": max(pts_err / 0.02, conf_err / 0.002),
         }
+
+    if args.oversample_hard and init_variables is not None:
+        # per-image worst criterion under the loaded weights; images with
+        # any cell out of tolerance get N extra copies in the pool
+        pts0, conf0 = infer_batch(
+            init_variables, jnp.asarray(raw), jnp.asarray(flips), spec,
+            INPUT_SHAPE,
+        )
+        pts0 = np.asarray(pts0).reshape(NUM_CAMERAS, T, 19, 2)
+        conf0 = np.asarray(conf0).reshape(NUM_CAMERAS, T, 19, 1)
+        p38_0 = decode_mod.postprocess_points2d(pts0, order)
+        perr = np.abs(p38_0 - golden_p2).max(axis=(2, 3))        # (C, T)
+        cerr = np.abs(conf0 - golden_conf).max(axis=(2, 3))      # (C, T)
+        ratio = np.maximum(perr / 0.02, cerr / 0.002).reshape(-1)
+        hard = np.flatnonzero(ratio > 1.0)
+        if hard.size:
+            print(f"oversampling {hard.size} hard images x{args.oversample_hard}:"
+                  f" {[(int(i) // T, int(i) % T) for i in hard]}", flush=True)
+            extra = np.repeat(hard, args.oversample_hard)
+            sel = np.concatenate([np.arange(images.shape[0]), extra])
+            images = images[sel]
+            targets = targets[sel]
+            peak_cells = peak_cells[sel]
+            peaks = peaks[sel]
 
     cfg = train_mod.TrainConfig(
         learning_rate=args.lr,
