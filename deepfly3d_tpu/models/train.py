@@ -174,8 +174,10 @@ def make_train_epoch(
                 mutable=["batch_stats"],
             )  # (S, N, H, W, K)
         # peak-weighted MSE: plain MSE under-penalizes stray blobs at wrong
-        # limbs (tiny area vs the background) — upweight the target blob
-        w = 1.0 + 20.0 * targets[None]
+        # limbs (tiny area vs the background) — upweight the target blob.
+        # Clamp: self-distillation targets are raw score maps and can be
+        # negative; a negative weight would reward error there.
+        w = 1.0 + 20.0 * jnp.maximum(targets[None], 0.0)
         mse = jnp.mean(w * (heatmaps - targets[None]) ** 2)
 
         last = heatmaps[-1]
@@ -208,7 +210,16 @@ def make_train_epoch(
     def one_step(carry, rng):
         params, batch_stats, opt_state, images, targets, cells, peaks = carry
         rng_idx, rng_noise = jax.random.split(rng)
-        idx = jax.random.randint(rng_idx, (batch_size,), 0, images.shape[0])
+        if batch_size >= images.shape[0]:
+            # full-batch: deterministic gradient on the true objective —
+            # the worst-offender max terms see EVERY observation each step
+            # (the endgame tool for the last stubborn cells; minibatch
+            # maxima only sample them)
+            idx = jnp.arange(images.shape[0])
+        else:
+            idx = jax.random.randint(
+                rng_idx, (batch_size,), 0, images.shape[0]
+            )
         batch_images = images[idx]
         if noise_scale > 0:
             # pixel jitter for robustness to JPEG re-encoding (the CLI's

@@ -32,18 +32,30 @@ VARIANTS = {
     #   2x FLOPs); single stack + patchify stem is the winning family.
     # sweep #2: shrink the input (192x384 -> 48x96 heatmaps, decode grid
     # error 1/96 = 0.0104 normalized, still inside the 0.02 contract).
-    "s1-f64-patch": dict(num_stacks=1, features=64, stem="patchify"),
-    "s1-f64-patch-192x384": dict(
-        num_stacks=1, features=64, stem="patchify", input=(192, 384)
-    ),
-    "s1-f64-patch-d3-192x384": dict(
-        num_stacks=1, features=64, stem="patchify", depth=3, input=(192, 384)
+    # sweep #3: f64@192x384 trained to parity_ratio ~1.8 but plateaued
+    # there across 6 anneal rounds (a few near-symmetric leg cells on the
+    # flipped cameras stay bistable) — capacity-saturated at 48x96.
+    # Candidates: width up at the fast resolution vs grid up at f64.
+    "s1-f96-patch-192x384": dict(
+        num_stacks=1, features=96, stem="patchify", input=(192, 384)
     ),
     "s1-f128-patch-192x384": dict(
         num_stacks=1, features=128, stem="patchify", input=(192, 384)
     ),
-    "s1-f64-patch-d3": dict(num_stacks=1, features=64, stem="patchify", depth=3),
-    "s1-f32-patch": dict(num_stacks=1, features=32, stem="patchify"),
+    # NOTE: input H and W must be divisible by 4 * 2^depth (= 64 at the
+    # default depth 4) or the hourglass up/down paths misalign — 224x448
+    # is NOT valid; 256x448 (grid 64x112) is the legal middle step.
+    "s1-f64-patch-256x448": dict(
+        num_stacks=1, features=64, stem="patchify", input=(256, 448)
+    ),
+    "s1-f96-b2-patch-192x384": dict(
+        num_stacks=1, features=96, num_blocks=2, stem="patchify",
+        input=(192, 384),
+    ),
+    "s1-f64-patch": dict(num_stacks=1, features=64, stem="patchify"),
+    "s1-f64-patch-192x384": dict(
+        num_stacks=1, features=64, stem="patchify", input=(192, 384)
+    ),
 }
 
 

@@ -71,36 +71,53 @@ def evaluate(golden, order, images, flips, variables, spec, input_shape):
     )
 
 
+def jpeg_reencode(raw, q):
+    return np.stack([
+        cv2.imdecode(
+            cv2.imencode(".jpg", im[:, :, ::-1],
+                         [cv2.IMWRITE_JPEG_QUALITY, q])[1],
+            cv2.IMREAD_COLOR,
+        )[:, :, ::-1]
+        for im in raw
+    ])
+
+
 def main():
+    import argparse
+    import json
+
     from deepfly3d_tpu.config import fly_config
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--write-envelope", action="store_true",
+                    help="write <weights>.envelope.json with the measured "
+                         "errors; tests/test_robustness.py asserts the "
+                         "shipped checkpoint stays inside it")
+    args = ap.parse_args()
 
     golden, order, raw, flips, variables, spec = load_problem()
     input_shape = spec.input_shape or fly_config().network.input_shape
     ev = lambda imgs: evaluate(
         golden, order, imgs, flips, variables, spec, input_shape
     )
+    envelope = {}
 
     base = ev(raw)
+    envelope["clean"] = {"pts": base[0], "conf": base[1]}
     print(f"clean: pts_maxerr={base[0]:.4f} conf_maxerr={base[1]:.4f}")
 
     print("\nbrightness gain (uint8 clip):")
-    for gain in (0.85, 0.9, 0.95, 1.05, 1.1, 1.15):
+    for gain in (0.85, 0.9, 0.95, 0.98, 1.02, 1.05, 1.1, 1.15):
         imgs = np.clip(raw.astype(np.float32) * gain, 0, 255).astype(np.uint8)
         p, c = ev(imgs)
+        envelope[f"gain_{gain}"] = {"pts": p, "conf": c}
         print(f"  gain={gain:<5} pts={p:.4f} conf={c:.4f} "
               f"{'OK' if p < 0.02 else 'PTS-FAIL'}")
 
     print("\njpeg re-encode quality:")
     for q in (95, 90, 80, 70, 60):
-        imgs = np.stack([
-            cv2.imdecode(
-                cv2.imencode(".jpg", im[:, :, ::-1],
-                             [cv2.IMWRITE_JPEG_QUALITY, q])[1],
-                cv2.IMREAD_COLOR,
-            )[:, :, ::-1]
-            for im in raw
-        ])
-        p, c = ev(imgs)
+        p, c = ev(jpeg_reencode(raw, q))
+        envelope[f"jpeg_q{q}"] = {"pts": p, "conf": c}
         print(f"  q={q:<4} pts={p:.4f} conf={c:.4f} "
               f"{'OK' if p < 0.02 else 'PTS-FAIL'}")
 
@@ -110,8 +127,15 @@ def main():
         p, c = ev(imgs)
         # a dx shift moves the true col by dx/960 — subtract it from the bound
         bound = 0.02 + abs(dx) / 960
+        envelope[f"shift_{dx}px"] = {"pts": p, "conf": c, "bound": bound}
         print(f"  dx={dx:<4} pts={p:.4f} (shift-adjusted bound {bound:.4f}) "
               f"{'OK' if p < bound else 'PTS-FAIL'}")
+
+    if args.write_envelope:
+        out = WEIGHTS + ".envelope.json"
+        with open(out, "w") as f:
+            json.dump(envelope, f, indent=1)
+        print(f"\nwrote {out}")
 
 
 if __name__ == "__main__":

@@ -66,6 +66,14 @@ def main():
                          "in the sampling pool (the acceptance criterion "
                          "is a MAX over observations; uniform sampling "
                          "under-visits the last stubborn cells)")
+    ap.add_argument("--self-distill", action="store_true",
+                    help="with --resume: label surgery — heatmap targets "
+                         "become the net's OWN outputs except the still-"
+                         "failing channels, which get golden gaussians. "
+                         "Gradients then come only from the bad cells "
+                         "while drift anywhere else is penalized from "
+                         "step 1 (anneals shuffle which ~dozen cells "
+                         "fail; this pins the good ones in place)")
     args = ap.parse_args()
 
     h, w = (int(v) for v in args.input.split("x"))
@@ -156,6 +164,32 @@ def main():
             # by one that trades points parity for confidence parity.
             "parity_ratio": max(pts_err / 0.02, conf_err / 0.002),
         }
+
+    if args.self_distill and init_variables is not None:
+        from deepfly3d_tpu.models.hourglass import HourglassNet
+
+        H, W = HEATMAP_SHAPE
+        hm = np.asarray(
+            HourglassNet(spec).apply(
+                init_variables, jnp.asarray(images), train=False
+            )[-1]
+        )  # (N, H, W, 19)
+        flat = hm.transpose(0, 3, 1, 2).reshape(hm.shape[0], 19, H * W)
+        arg = flat.argmax(axis=-1)
+        dec = np.stack([arg // W / H, arg % W / W], axis=-1)  # (N, 19, 2)
+        # same criterion as the golden suite, in the network frame (the
+        # unflip is |.|-preserving): wrong-cell if decode is outside the
+        # points tolerance, conf-bad if the max misses the golden peak
+        pts_bad = known & (
+            np.abs(dec - coords).max(axis=-1) > 0.015
+        )
+        conf_bad = np.abs(flat.max(axis=-1) - peaks) > 0.0018
+        bad = pts_bad | conf_bad
+        print(f"self-distill: {int(pts_bad.sum())} wrong-cell + "
+              f"{int(conf_bad.sum())} conf-bad channels get golden "
+              f"targets; {int((~bad).sum())} keep their own output",
+              flush=True)
+        targets = np.where(bad[:, None, None, :], targets, hm)
 
     if args.oversample_hard and init_variables is not None:
         # per-image worst criterion under the loaded weights; images with
