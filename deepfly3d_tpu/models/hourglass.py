@@ -48,6 +48,11 @@ class HourglassSpec:
     # "patchify": non-overlapping 4x4 patch embedding, one (HW/16, 48) x
     #         (48, features) matmul straight onto the MXU — goes directly
     #         to heatmap resolution with zero high-res convolutions.
+    # "patch8": overlapping 8x8 stride-4 embedding (one strided conv to
+    #         heatmap resolution). The non-overlapping 4x4 embed destroys
+    #         sub-patch phase — a 1-px input shift changes patch contents
+    #         discontinuously, which caps exact argmax-cell accuracy; the
+    #         2x-overlap restores cross-patch context for ~10% more FLOPs.
     stem: str = "conv"
     # (h, w) the weights were trained at.  Convolutions are shape-
     # polymorphic but golden parity only holds at the training resolution,
@@ -148,7 +153,18 @@ class HourglassNet(nn.Module):
         mom = s.bn_momentum
         x = x.astype(dt)
 
-        if s.stem == "patchify":
+        if s.stem == "patch8":
+            # overlapping embed straight to H/4 x W/4
+            y = nn.Conv(s.features, (8, 8), strides=(4, 4), padding=2,
+                        use_bias=True, dtype=dt, name="patch_embed")(x)
+            y = nn.BatchNorm(use_running_average=not train, dtype=dt,
+                             momentum=mom, name="stem_bn")(y)
+            y = nn.relu(y)
+            y = Bottleneck(s.features, dtype=dt, momentum=mom,
+                           name="stem_res2")(y, train)
+            y = Bottleneck(s.features, dtype=dt, momentum=mom,
+                           name="stem_res3")(y, train)
+        elif s.stem == "patchify":
             # 4x4 space-to-depth + linear embed: one MXU matmul from pixels
             # to trunk features at H/4 x W/4, then two low-res residuals
             n, h, w, c = x.shape

@@ -56,6 +56,17 @@ VARIANTS = {
     "s1-f64-patch-192x384": dict(
         num_stacks=1, features=64, stem="patchify", input=(192, 384)
     ),
+    # overlapping 8x8/4 embed: restores the sub-patch phase the 4x4
+    # non-overlapping embed discards (exact argmax-cell accuracy)
+    "s1-f64-patch8-192x384": dict(
+        num_stacks=1, features=64, stem="patch8", input=(192, 384)
+    ),
+    "s1-f96-patch8-192x384": dict(
+        num_stacks=1, features=96, stem="patch8", input=(192, 384)
+    ),
+    "s1-f64-patch8-256x512": dict(
+        num_stacks=1, features=64, stem="patch8", input=(256, 512)
+    ),
 }
 
 
@@ -76,8 +87,11 @@ def main():
     )(jax.random.PRNGKey(0))
     jax.block_until_ready(frames)
 
+    only = os.environ.get("DF3D_SWEEP_FILTER")
     results = {}
     for name, kw in VARIANTS.items():
+        if only and only not in name:
+            continue
         kw = dict(kw)
         input_shape = kw.pop("input", (256, 512))
         bench.INPUT_SHAPE = input_shape  # build_pipeline reads the global

@@ -39,7 +39,9 @@ from deepfly3d_tpu.models.inference import infer_batch  # noqa: E402
 
 IMAGES = os.path.join(REPO, "tests/data/reference")
 GOLDEN = os.path.join(REPO, "tests/data/reference_df3d/df3d_result_2d.pkl")
-WEIGHTS = os.path.join(REPO, "weights/hourglass_fly.npz")
+WEIGHTS = os.environ.get(
+    "DF3D_WEIGHTS", os.path.join(REPO, "weights/hourglass_fly.npz")
+)
 NUM_CAMERAS, T = 7, 15
 
 

@@ -42,7 +42,8 @@ def main():
     ap.add_argument("--steps", type=int, default=16000)
     ap.add_argument("--features", type=int, default=96)
     ap.add_argument("--stacks", type=int, default=2)
-    ap.add_argument("--stem", choices=["conv", "patchify"], default="conv",
+    ap.add_argument("--stem", choices=["conv", "patchify", "patch8"],
+                    default="conv",
                     help="'patchify' is the TPU student stem: a 4x4 patch "
                          "embedding (one MXU matmul) instead of high-res "
                          "stem convolutions")
@@ -66,6 +67,14 @@ def main():
                          "in the sampling pool (the acceptance criterion "
                          "is a MAX over observations; uniform sampling "
                          "under-visits the last stubborn cells)")
+    ap.add_argument("--distill-teacher", metavar="NPZ", default=None,
+                    help="heatmap targets become a teacher checkpoint's "
+                         "outputs (same heatmap grid required). The round-1 "
+                         "f96 2-stack net is argmax-EXACT on golden at "
+                         "64x128 — its heatmaps are a realizable, smooth, "
+                         "complete solution, a far better-behaved target "
+                         "than synthetic gaussians for closing the last "
+                         "wrong-argmax cells")
     ap.add_argument("--self-distill", action="store_true",
                     help="with --resume: label surgery — heatmap targets "
                          "become the net's OWN outputs except the still-"
@@ -164,6 +173,30 @@ def main():
             # by one that trades points parity for confidence parity.
             "parity_ratio": max(pts_err / 0.02, conf_err / 0.002),
         }
+
+    if args.distill_teacher:
+        from deepfly3d_tpu.models.hourglass import HourglassNet
+        from deepfly3d_tpu.models.hourglass import load_weights as _lw
+
+        t_vars, t_spec = _lw(args.distill_teacher)
+        t_input = tuple(t_spec.input_shape or (256, 512))
+        assert (t_input[0] // 4, t_input[1] // 4) == HEATMAP_SHAPE, (
+            "teacher heatmap grid must match the student's"
+        )
+        t_images = images
+        if t_input != INPUT_SHAPE:
+            t_images = np.asarray(jax.image.resize(
+                jnp.asarray(images),
+                (images.shape[0],) + t_input + (3,), method="bilinear",
+            ))
+        targets = np.asarray(
+            HourglassNet(t_spec).apply(
+                t_vars, jnp.asarray(t_images), train=False
+            )[-1]
+        )
+        print(f"distilling from {args.distill_teacher} "
+              f"(features={t_spec.features}, stacks={t_spec.num_stacks})",
+              flush=True)
 
     if args.self_distill and init_variables is not None:
         from deepfly3d_tpu.models.hourglass import HourglassNet

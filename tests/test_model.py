@@ -25,6 +25,18 @@ class TestHourglass:
         assert out.shape == (2, 2, 16, 32, 19)
         assert out.dtype == jnp.float32
 
+    def test_stem_variants_forward_shapes(self):
+        """All three stems land on the same H/4 x W/4 heatmap grid."""
+        import dataclasses
+
+        for stem in ("patchify", "patch8"):
+            spec = dataclasses.replace(TINY, num_stacks=1, stem=stem)
+            variables = init_params(spec, (64, 128), jax.random.PRNGKey(1))
+            out = HourglassNet(spec).apply(
+                variables, jnp.zeros((2, 64, 128, 3)), train=False
+            )
+            assert out.shape == (1, 2, 16, 32, 19), stem
+
     def test_train_mode_updates_stats(self):
         variables = init_params(TINY, (64, 128), jax.random.PRNGKey(0))
         model = HourglassNet(TINY)
