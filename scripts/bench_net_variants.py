@@ -67,6 +67,19 @@ VARIANTS = {
     "s1-f64-patch8-256x512": dict(
         num_stacks=1, features=64, stem="patch8", input=(256, 512)
     ),
+    # every single-stack student plateaus at 1.5-2x tolerance with a
+    # quasi-random residue of wrong-argmax cells; the only architecture
+    # that ever reached exact parity has two stacks with intermediate
+    # supervision — measure what that costs with the fast stem:
+    "s2-f64-patch8-192x384": dict(
+        num_stacks=2, features=64, stem="patch8", input=(192, 384)
+    ),
+    "s2-f64-patch8-256x512": dict(
+        num_stacks=2, features=64, stem="patch8", input=(256, 512)
+    ),
+    "s2-f96-patch8-192x384": dict(
+        num_stacks=2, features=96, stem="patch8", input=(192, 384)
+    ),
 }
 
 
