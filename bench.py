@@ -250,6 +250,42 @@ def main():
             }
         )
     )
+    # informational: the opt-in near-parity student's throughput (README
+    # "Weights provenance"). Printed BEFORE the official line — the
+    # headline metric stays the exact-golden-parity checkpoint.
+    fast = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "weights", "hourglass_fly_fast_nearparity.npz")
+    if os.path.exists(fast) and not os.environ.get("DF3D_BENCH_SKIP_FAST"):
+        variables_f, spec_f = load_weights(fast)
+        saved_shape = INPUT_SHAPE
+        INPUT_SHAPE = tuple(spec_f.input_shape or (256, 512))
+        spec_f = HourglassSpec(
+            **{**spec_f.__dict__, "compute_dtype": jnp.bfloat16}
+        )
+        pipe_f = build_pipeline(
+            spec_f, variables_f, calib, np.arange(NUM_CAMERAS), jnp.float32
+        )
+        out = pipe_f(frames)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = pipe_f(frames)
+        jax.block_until_ready(out)
+        fast_fps = T * iters / (time.perf_counter() - t0)
+        INPUT_SHAPE = saved_shape
+        print(
+            json.dumps(
+                {
+                    "metric": "7-cam frames/sec/chip (opt-in near-parity "
+                              "fast checkpoint; pts within 0.031 vs the "
+                              "0.02 contract)",
+                    "value": round(fast_fps, 2),
+                    "unit": "frames/s",
+                    "vs_baseline": round(fast_fps / BASELINE_FPS, 4),
+                }
+            )
+        )
+
     line = {
         "metric": "7-cam frames/sec/chip (2D hourglass + DLT 3D, e2e jitted)",
         "value": round(fps, 2),
