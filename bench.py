@@ -1,4 +1,4 @@
-"""End-to-end TPU benchmark.
+"""End-to-end TPU benchmark with in-run contract verification.
 
 Measures the headline metric from BASELINE.json: 7-camera frames/sec/chip
 for the full 2D+3D pipeline — uint8 camera frames -> on-device resize /
@@ -6,8 +6,15 @@ normalize / flip -> stacked-hourglass heatmaps -> argmax decode -> 19->38
 assembly -> DLT triangulation — as ONE jitted XLA program (no host
 round-trips inside the loop).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is measured against the north-star target of 5,000 frames/s/chip
+The OFFICIAL (last) JSON line is the fastest configuration that passes the
+reference's full golden contract (points2d atol 0.02 AND confidence atol
+0.002, reference tests/test_df3d.py:167-179) *measured in this very run*
+by pushing the bundled golden recording through the same jitted pipeline
+and comparing against tests/data/reference_df3d/df3d_result_2d.pkl.
+Configurations that fail the contract are printed as informational lines
+with their measured errors — never as the headline.
+
+vs_baseline is against the north-star 5,000 frames/s/chip
 (/root/repo/BASELINE.json; the reference publishes no numbers of its own —
 BASELINE.md).
 """
@@ -16,9 +23,10 @@ import os
 
 os.environ["DF3D_TPU_DISABLE_X64"] = "1"  # pure f32/bf16 on the TPU hot path
 
+import contextlib
 import json
+import pickle
 import time
-
 
 import jax
 import jax.numpy as jnp
@@ -33,19 +41,33 @@ from deepfly3d_tpu.ops import geometry
 
 NUM_CAMERAS = 7
 IMAGE_H, IMAGE_W = 480, 960
-INPUT_SHAPE = (256, 512)
 BASELINE_FPS = 5000.0
-WEIGHTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "weights", "hourglass_fly.npz")
+ROOT = os.path.dirname(os.path.abspath(__file__))
+WEIGHTS = os.path.join(ROOT, "weights", "hourglass_fly.npz")
+FAST64 = os.path.join(ROOT, "weights", "hourglass_fly_fast64.npz")
+GOLDEN_2D = os.path.join(
+    ROOT, "tests", "data", "reference_df3d", "df3d_result_2d.pkl"
+)
+GOLDEN_T = 15
 
 
-def build_pipeline(spec, variables, calib, camera_ordering, compute_dtype):
-    """One jitted program: (T, C, H, W, 3) uint8 -> points3d (T, J, 3)."""
-    from deepfly3d_tpu.models import fused_inference
+def build_pipeline(spec, variables, calib, camera_ordering, input_shape,
+                   precision=None):
+    """One jitted program: (T, C, H, W, 3) uint8 ->
+    (points3d (T, 38, 3), points2d38 (C, T, 38, 2), conf (C, T, 19, 1)).
 
-    if os.environ.get("DF3D_BENCH_FUSED"):
+    ``precision`` optionally pins the matmul precision for the network
+    forward (e.g. "tensorfloat32" / "float32") — TPU f32 matmuls default to
+    reduced precision, which costs ~+0.0003 confidence drift vs golden.
+    """
+    from deepfly3d_tpu.ops import image as image_ops
+
+    if os.environ.get("DF3D_BENCH_FUSED") and spec.stem == "conv":
         # folded-BN path: measured ~7% SLOWER than the flax graph end-to-end
-        # on v5e (XLA already fuses the BN affines) — kept for comparison
+        # on v5e (XLA already fuses the BN affines) — kept for comparison.
+        # fold_hourglass only knows the conv stem; patch stems skip it.
+        from deepfly3d_tpu.models import fused_inference
+
         folded = fused_inference.fold_hourglass(
             variables, spec, dtype=spec.compute_dtype
         )
@@ -54,12 +76,6 @@ def build_pipeline(spec, variables, calib, camera_ordering, compute_dtype):
         model = HourglassNet(spec)
         net = lambda x: model.apply(variables, x, train=False)[-1]
     R, tvec, intr, _ = calib
-    P = jnp.asarray(
-        np.asarray(intr) @ np.concatenate(
-            [np.asarray(R), np.asarray(tvec)[:, :, None]], axis=2
-        ),
-        jnp.float32,
-    )
     order = np.asarray(camera_ordering)
     flip_mask = np.zeros(NUM_CAMERAS, bool)
     flip_mask[order[4:]] = True
@@ -69,7 +85,11 @@ def build_pipeline(spec, variables, calib, camera_ordering, compute_dtype):
     left_cams = jnp.asarray(order[:3])
     right_cams = jnp.asarray(order[4:])
 
-    from deepfly3d_tpu.ops import image as image_ops
+    prec_ctx = (
+        (lambda: jax.default_matmul_precision(precision))
+        if precision
+        else contextlib.nullcontext
+    )
 
     @jax.jit
     def pipeline(frames_u8):
@@ -77,18 +97,23 @@ def build_pipeline(spec, variables, calib, camera_ordering, compute_dtype):
         x = frames_u8.reshape(T * NUM_CAMERAS, IMAGE_H, IMAGE_W, 3)
         flip = jnp.tile(flip_d, T)
         # cast/normalize/resize as two MXU matmuls + low-res flip (ops/image.py)
-        x = image_ops.preprocess_frames(x, flip, INPUT_SHAPE, compute_dtype)
-        heatmaps = net(x)
-        # decode: integer argmax, normalized (row, col)
+        x = image_ops.preprocess_frames(x, flip, input_shape, jnp.float32)
+        with prec_ctx():
+            heatmaps = net(x)
+        # decode: integer argmax, normalized (row, col) + unnormalized max
         N, Hh, Ww, K = heatmaps.shape
-        flat = heatmaps.transpose(0, 3, 1, 2).reshape(N, K, Hh * Ww)
+        flat = heatmaps.astype(jnp.float32).transpose(0, 3, 1, 2)
+        flat = flat.reshape(N, K, Hh * Ww)
         idx = jnp.argmax(flat, axis=-1)
+        conf = jnp.max(flat, axis=-1, keepdims=True)
         row = (idx // Ww).astype(jnp.float32) / Hh
         col = (idx % Ww).astype(jnp.float32) / Ww
         pts19 = jnp.stack([row, col], -1).reshape(T, NUM_CAMERAS, K, 2)
         pts19 = pts19.transpose(1, 0, 2, 3)              # (C, T, 19, 2)
+        conf = conf.reshape(T, NUM_CAMERAS, K, 1).transpose(1, 0, 2, 3)
 
-        # 19->38 assembly on device
+        # 19->38 assembly on device (reference core.py:189-199 semantics,
+        # incl. the col = 1 - 0 = 1.0 flip artifact)
         p38 = jnp.zeros((NUM_CAMERAS, T, 2 * K, 2), jnp.float32)
         p38 = p38.at[left_cams, :, :K].set(pts19[left_cams])
         p38 = p38.at[right_cams, :, K:].set(pts19[right_cams])
@@ -104,9 +129,81 @@ def build_pipeline(spec, variables, calib, camera_ordering, compute_dtype):
             # closed-form inverse-power DLT: 3.8ms vs eigh 16ms at T=128
             method="normal",
         )
-        return pts3d
+        return pts3d, p38, conf
 
     return pipeline
+
+
+def load_golden_frames():
+    """Golden recording as (15, 7, 480, 960, 3) uint8 + the golden pickle."""
+    from deepfly3d_tpu.models.inference import _read_images_threaded
+
+    with open(GOLDEN_2D, "rb") as f:
+        golden = pickle.load(f)
+    paths = []
+    for t in range(GOLDEN_T):
+        for cam in range(NUM_CAMERAS):
+            paths.append(
+                os.path.join(ROOT, "tests", "data", "reference",
+                             f"camera_{cam}_img_{t}.jpg")
+            )
+    images = _read_images_threaded(paths)
+    frames = images.reshape(GOLDEN_T, NUM_CAMERAS, IMAGE_H, IMAGE_W, 3)
+    return frames, golden
+
+
+def verify_contract(pipeline, golden_frames, golden):
+    """Run the golden recording through the jitted pipeline; return the
+    measured (pts_err, conf_err, passes) vs the reference tolerances."""
+    _, p38, conf = jax.block_until_ready(pipeline(jnp.asarray(golden_frames)))
+    pts_err = float(
+        np.abs(np.asarray(p38) - golden["points2d"]).max()
+    )
+    conf_err = float(
+        np.abs(np.asarray(conf) - golden["heatmap_confidence"]).max()
+    )
+    return pts_err, conf_err, (pts_err <= 0.02 and conf_err <= 0.002)
+
+
+def measure_fps(pipeline, T, iters=None):
+    """Compile + time the pipeline on an on-device random batch.
+
+    The frame batch is generated ON DEVICE: the metric is pipeline
+    throughput; uploading ~600MB of random bytes through the axon tunnel
+    would only measure the tunnel.  (Production ingest overlaps H2D with
+    compute via the one-batch-ahead device_put prefetch in
+    PoseEstimator.infer_images.)
+    """
+    iters = iters or int(os.environ.get("DF3D_BENCH_ITERS", "6"))
+    frames = jax.jit(
+        lambda key: jax.random.randint(
+            key, (T, NUM_CAMERAS, IMAGE_H, IMAGE_W, 3), 0, 255, jnp.uint8
+        )
+    )(jax.random.PRNGKey(0))
+    jax.block_until_ready(frames)
+    out = pipeline(frames)           # warmup / compile
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = pipeline(frames)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    fps = T * iters / dt
+    return fps, frames, iters, dt
+
+
+def pipeline_mfu(pipeline, frames, iters, dt):
+    """MFU via XLA's own flop count / the chip's measured bf16 roofline
+    (181 TFLOP/s on this v5e-class part; DF3D_PEAK_TFLOPS overrides)."""
+    peak = float(os.environ.get("DF3D_PEAK_TFLOPS", "181")) * 1e12
+    try:
+        cost = pipeline.lower(frames).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+    except Exception:
+        flops = 0.0
+    return flops * iters / dt / peak if flops else None
 
 
 def bench_bundle_adjust():
@@ -122,29 +219,27 @@ def bench_bundle_adjust():
     * ``parity``  — the reference-equivalent scipy TRF optimizer (the CLI
                     default: bit-reproduces the golden calibration).
 
-    Returns (lm_ms, parity_ms).  ``vs_baseline`` for this metric is the
-    reference-equivalent time divided by the lm time (>1 = faster than the
-    reference's own solver on the same host).
+    Returns {solver: (median_ms, spread_ms)} over DF3D_BENCH_BA_SAMPLES
+    (default 7) timed runs; ``vs_baseline`` is the reference-equivalent
+    median divided by the lm median (>1 = faster than the reference's own
+    solver on the same host).
     """
-    import pickle
-
     # BA is an x64 stage in production (package __init__ enables x64; this
     # script disabled it for the pure f32/bf16 inference path above).
     jax.config.update("jax_enable_x64", True)
     from deepfly3d_tpu.ops import bundle_adjust as ba_mod
     from deepfly3d_tpu.utils.devices import geometry_device
 
-    root = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(root, "tests", "data", "reference_df3d",
-                           "df3d_result_2d.pkl"), "rb") as f:
+    with open(GOLDEN_2D, "rb") as f:
         golden = pickle.load(f)
-    with open(os.path.join(root, "data", "calib.pkl"), "rb") as f:
+    with open(os.path.join(ROOT, "data", "calib.pkl"), "rb") as f:
         prior = pickle.load(f)
     prior = {
         cidx: prior[idx] for idx, cidx in enumerate(golden["camera_ordering"])
     }
     pts = golden["points2d"]
     image_shape = (IMAGE_W, IMAGE_H)
+    n_samples = int(os.environ.get("DF3D_BENCH_BA_SAMPLES", "7"))
 
     timings = {}
     with geometry_device():
@@ -155,151 +250,144 @@ def bench_bundle_adjust():
             res = run()  # warmup: jit compiles (lm) / trace caches (parity)
             assert res.cost_final < res.cost_initial, solver
             samples = []
-            for _ in range(3):
+            for _ in range(n_samples):
                 t0 = time.perf_counter()
                 run()
                 samples.append((time.perf_counter() - t0) * 1e3)
-            timings[solver] = min(samples)
-    return timings["lm"], timings["parity"]
+            med = float(np.median(samples))
+            spread = float(
+                np.percentile(samples, 75) - np.percentile(samples, 25)
+            )
+            timings[solver] = (med, spread)
+    return timings
 
 
 def main():
-    import pickle
-
-    global INPUT_SHAPE
     devices = jax.devices()
-    if os.path.exists(WEIGHTS):
-        variables, spec = load_weights(WEIGHTS)
-        if spec.input_shape is not None:
-            INPUT_SHAPE = tuple(spec.input_shape)
-    else:
-        spec = HourglassSpec(num_stacks=2, features=64, num_classes=19)
-        model = HourglassNet(spec)
-        variables = model.init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1,) + INPUT_SHAPE + (3,), jnp.float32),
-            train=False,
-        )
-    # bf16 trunk for the MXU; head/decode stay f32 inside the model
-    spec = HourglassSpec(
-        **{**spec.__dict__, "compute_dtype": jnp.bfloat16}
-    )
-
-    calib_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "data", "calib.pkl"
-    )
+    calib_path = os.path.join(ROOT, "data", "calib.pkl")
     with open(calib_path, "rb") as f:
         calib_dict = pickle.load(f)
     calib = geometry.calib_to_arrays(calib_dict, NUM_CAMERAS, dtype=np.float32)
 
-    pipeline = build_pipeline(
-        spec, variables, calib, np.arange(NUM_CAMERAS), jnp.float32
-    )
+    golden_frames, golden = load_golden_frames()
+    order = np.asarray(golden["camera_ordering"])
 
-    # 128 timesteps (896 images) per dispatch: measured sweet spot — 575
-    # frames/s vs 543 at T=64; T=256 exceeds the chip's 16GB HBM.
-    T = int(os.environ.get("DF3D_BENCH_T", "128"))
-    # Generate the frame batch ON DEVICE: the metric is pipeline throughput;
-    # uploading ~600MB of random bytes through the axon tunnel would only
-    # measure the tunnel.  (Production ingest overlaps H2D with compute via
-    # the one-batch-ahead device_put prefetch in PoseEstimator.infer_images.)
-    frames = jax.jit(
-        lambda key: jax.random.randint(
-            key, (T, NUM_CAMERAS, IMAGE_H, IMAGE_W, 3), 0, 255, jnp.uint8
+    parity_vars, parity_spec = load_weights(WEIGHTS)
+    parity_input = tuple(parity_spec.input_shape or (256, 512))
+
+    def parity_cfg(dtype, precision):
+        spec = HourglassSpec(
+            **{**parity_spec.__dict__, "compute_dtype": dtype}
         )
-    )(jax.random.PRNGKey(0))
-    jax.block_until_ready(frames)
+        return spec, parity_vars, parity_input, precision
 
-    # warmup / compile
-    out = pipeline(frames)
-    jax.block_until_ready(out)
+    # Candidate ladder, fastest first.  T per config: f32 activations at
+    # T=128 exceed the chip's HBM, bf16 fits (measured round 1).
+    candidates = []
+    if os.path.exists(FAST64) and not os.environ.get("DF3D_BENCH_SKIP_FAST"):
+        fast_vars, fast_spec = load_weights(FAST64)
+        fast_spec = HourglassSpec(
+            **{**fast_spec.__dict__, "compute_dtype": jnp.bfloat16}
+        )
+        candidates.append((
+            "fast64 student bf16",
+            (fast_spec, fast_vars,
+             tuple(fast_spec.input_shape or (256, 512)), None),
+            128,
+        ))
+    candidates += [
+        ("parity bf16", parity_cfg(jnp.bfloat16, None), 128),
+        ("parity f32", parity_cfg(jnp.float32, None), 64),
+        ("parity f32/tf32-3pass", parity_cfg(jnp.float32, "tensorfloat32"), 64),
+        ("parity f32/highest", parity_cfg(jnp.float32, "float32"), 64),
+    ]
 
-    iters = int(os.environ.get("DF3D_BENCH_ITERS", "6"))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = pipeline(frames)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    official = None
+    results = []
+    for label, (spec, variables, input_shape, precision), T in candidates:
+        T = int(os.environ.get("DF3D_BENCH_T", str(T)))
+        pipeline = build_pipeline(
+            spec, variables, calib, order, input_shape, precision
+        )
+        pts_err, conf_err, passes = verify_contract(
+            pipeline, golden_frames, golden
+        )
+        fps, frames, iters, dt = measure_fps(pipeline, T)
+        mfu = pipeline_mfu(pipeline, frames, iters, dt)
+        rec = {
+            "label": label, "fps": fps, "pts_err": pts_err,
+            "conf_err": conf_err, "passes": passes, "mfu": mfu,
+        }
+        results.append(rec)
+        if passes and official is None:
+            official = rec
+        if official is not None:
+            break  # ladder is fastest-first: first pass wins
 
-    fps = T * iters / dt
-
-    # MFU: XLA's own flop count for the whole pipeline program divided by
-    # the chip's measured bf16 roofline (181 TFLOP/s on this v5e-class
-    # part, scripts/ — override with DF3D_PEAK_TFLOPS for other chips).
-    peak = float(os.environ.get("DF3D_PEAK_TFLOPS", "181")) * 1e12
-    try:
-        cost = pipeline.lower(frames).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
-    except Exception:
-        flops = 0.0
-    mfu = flops * iters / dt / peak if flops else None
+    # informational lines for every non-official config measured
+    for rec in results:
+        if official is not None and rec is official:
+            continue
+        print(json.dumps({
+            "metric": f"7-cam frames/sec/chip ({rec['label']}; "
+                      "informational — "
+                      + ("passes" if rec["passes"] else "FAILS")
+                      + " golden contract)",
+            "value": round(rec["fps"], 2),
+            "unit": "frames/s",
+            "vs_baseline": round(rec["fps"] / BASELINE_FPS, 4),
+            "pts_err": round(rec["pts_err"], 5),
+            "conf_err": round(rec["conf_err"], 5),
+        }))
 
     # second BASELINE metric: bundle-adjust ms/recording (after the fps
     # measurement so the x64 re-enable cannot perturb the hot-path compile)
-    lm_ms, parity_ms = bench_bundle_adjust()
-    print(
-        json.dumps(
-            {
-                "metric": "bundle-adjust ms/recording (lm solver; baseline ="
-                          " reference-equivalent scipy TRF on same host)",
-                "value": round(lm_ms, 2),
-                "unit": "ms",
-                "vs_baseline": round(parity_ms / lm_ms, 4),
-            }
-        )
-    )
-    # informational: the opt-in near-parity student's throughput (README
-    # "Weights provenance"). Printed BEFORE the official line — the
-    # headline metric stays the exact-golden-parity checkpoint.
-    fast = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "weights", "hourglass_fly_fast_nearparity.npz")
-    if os.path.exists(fast) and not os.environ.get("DF3D_BENCH_SKIP_FAST"):
-        variables_f, spec_f = load_weights(fast)
-        saved_shape = INPUT_SHAPE
-        INPUT_SHAPE = tuple(spec_f.input_shape or (256, 512))
-        spec_f = HourglassSpec(
-            **{**spec_f.__dict__, "compute_dtype": jnp.bfloat16}
-        )
-        pipe_f = build_pipeline(
-            spec_f, variables_f, calib, np.arange(NUM_CAMERAS), jnp.float32
-        )
-        out = pipe_f(frames)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = pipe_f(frames)
-        jax.block_until_ready(out)
-        fast_fps = T * iters / (time.perf_counter() - t0)
-        INPUT_SHAPE = saved_shape
-        print(
-            json.dumps(
-                {
-                    "metric": "7-cam frames/sec/chip (opt-in near-parity "
-                              "fast checkpoint; pts within 0.031 vs the "
-                              "0.02 contract)",
-                    "value": round(fast_fps, 2),
-                    "unit": "frames/s",
-                    "vs_baseline": round(fast_fps / BASELINE_FPS, 4),
-                }
-            )
-        )
+    ba = bench_bundle_adjust()
+    lm_med, lm_spread = ba["lm"]
+    par_med, par_spread = ba["parity"]
+    print(json.dumps({
+        "metric": "bundle-adjust ms/recording (lm solver; baseline = "
+                  "reference-equivalent scipy TRF on same host; "
+                  "median of N with IQR spread)",
+        "value": round(lm_med, 2),
+        "unit": "ms",
+        "vs_baseline": round(par_med / lm_med, 4),
+        "spread_ms": round(lm_spread, 2),
+        "parity_ms": round(par_med, 2),
+        "parity_spread_ms": round(par_spread, 2),
+    }))
+
+    if official is None:
+        # nothing passed — report the closest config, flagged honestly
+        best = min(results, key=lambda r: max(
+            r["pts_err"] / 0.02, r["conf_err"] / 0.002))
+        line = {
+            "metric": "7-cam frames/sec/chip (2D hourglass + DLT 3D, "
+                      f"e2e jitted; {best['label']}; DOES NOT hold the "
+                      "golden contract this run)",
+            "value": round(best["fps"], 2),
+            "unit": "frames/s",
+            "vs_baseline": round(best["fps"] / BASELINE_FPS, 4),
+            "pts_err": round(best["pts_err"], 5),
+            "conf_err": round(best["conf_err"], 5),
+        }
+        if best["mfu"] is not None:
+            line["mfu"] = round(best["mfu"], 4)
+        print(json.dumps(line))
+        return
 
     line = {
-        "metric": "7-cam frames/sec/chip (2D hourglass + DLT 3D, e2e jitted)",
-        "value": round(fps, 2),
+        "metric": "7-cam frames/sec/chip (2D hourglass + DLT 3D, e2e "
+                  f"jitted; {official['label']}; golden contract verified "
+                  "in-run: pts<=0.02, conf<=0.002)",
+        "value": round(official["fps"], 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / BASELINE_FPS, 4),
-        # measured on TPU: the bf16 trunk keeps points argmax-EXACT vs
-        # golden but confidence drifts to 0.0035 (vs the 0.002 contract);
-        # the f32 production path holds the full contract at 339 frames/s
-        # (T=64; T=128 exceeds HBM in f32)
-        "note": "bf16 trunk: points argmax-exact, conf within 0.0035; "
-                "full-contract f32 path measures 339 frames/s",
+        "vs_baseline": round(official["fps"] / BASELINE_FPS, 4),
+        "pts_err": round(official["pts_err"], 5),
+        "conf_err": round(official["conf_err"], 5),
     }
-    if mfu is not None:
-        line["mfu"] = round(mfu, 4)
+    if official["mfu"] is not None:
+        line["mfu"] = round(official["mfu"], 4)
     print(json.dumps(line))
 
 

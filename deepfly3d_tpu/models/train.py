@@ -266,6 +266,7 @@ def train_overfit(
 ):
     """Fit the network to a fixed dataset (resident on device)."""
     rng = jax.random.PRNGKey(cfg.seed)
+    resumed = init_variables is not None
     if init_variables is None:
         model = HourglassNet(spec)
         init_variables = model.init(
@@ -296,7 +297,7 @@ def train_overfit(
     step = 0
     best = None
     best_vars = None
-    if keep_best is not None and eval_fn is not None and init_variables:
+    if keep_best is not None and eval_fn is not None and resumed:
         # seed with the resumed checkpoint: a fine-tune round whose every
         # eval is worse than its starting point must return the start,
         # not its own least-bad state

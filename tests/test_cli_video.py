@@ -240,3 +240,42 @@ class TestVideos:
         # three rows: 2x 2D rows (1:2 aspect tiles) + 1 3D row (square tiles)
         h, w = frames[0].shape[:2]
         assert w == 5000
+
+
+class TestRaster3D:
+    """The cv2 3D rasterizer (viz/raster3d.py) — the default 3D-row
+    renderer, ~100x faster than the matplotlib figure path it replaces."""
+
+    def test_deterministic_and_nonempty(self, golden_3d):
+        import numpy as np
+
+        from deepfly3d_tpu.skeletons import fly
+        from deepfly3d_tpu.viz.raster3d import render_frame_3d_fast
+
+        pts = np.asarray(golden_3d["points3d"])[0]
+        a = render_frame_3d_fast(pts, fly.skeleton, cam_id=4)
+        b = render_frame_3d_fast(pts, fly.skeleton, cam_id=4)
+        assert a.shape == (200, 200, 3) and a.dtype == np.uint8
+        np.testing.assert_array_equal(a, b)
+        assert (a > 0).any()  # drew something on the dark canvas
+
+    def test_per_camera_views_differ(self, golden_3d):
+        import numpy as np
+
+        from deepfly3d_tpu.skeletons import fly
+        from deepfly3d_tpu.viz.raster3d import render_frame_3d_fast
+
+        pts = np.asarray(golden_3d["points3d"])[0]
+        views = [render_frame_3d_fast(pts, fly.skeleton, cam_id=c)
+                 for c in (4, 5, 6)]
+        assert (views[0] != views[1]).any() and (views[1] != views[2]).any()
+
+    def test_matplotlib_renderer_still_available(self, golden_3d):
+        import numpy as np
+
+        from deepfly3d_tpu.skeletons import fly
+        from deepfly3d_tpu.viz.plot3d import render_frame_3d
+
+        pts = np.asarray(golden_3d["points3d"])[0]
+        img = render_frame_3d(pts, fly.skeleton, cam_id=4)
+        assert img.shape == (200, 200, 3)
