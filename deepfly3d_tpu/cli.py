@@ -102,6 +102,21 @@ def parse_cli_args(argv=None):
                         help="Sub-pixel heatmap decoding (off = reference-exact argmax)")
     parser.add_argument("--checkpoint", default=None,
                         help="Override the hourglass weight file")
+    parser.add_argument("--streaming", action="store_true",
+                        help="Run inference straight from camera_{c}.mp4 "
+                             "videos (bounded-memory streaming decode) — no "
+                             "ffmpeg expansion, no intermediate JPEGs on "
+                             "disk. Default (off) keeps the reference's "
+                             "expand-to-JPEG flow for byte compatibility.")
+    parser.add_argument("--profile", choices=["fly", "h36m"], default="fly",
+                        help="Capture profile: 'fly' (7-camera Drosophila, "
+                             "the reference default) or 'h36m' (4-camera "
+                             "17-joint human-scale profile, BASELINE "
+                             "config #4).")
+    parser.add_argument("--calib-prior", default=None,
+                        help="Override the calibration-prior pickle "
+                             "({cam: {R,tvec,intr,distort}}); defaults to "
+                             "the profile's shipped prior.")
     args = parser.parse_args(argv)
     args.input_folder = Path(args.input_folder).expanduser().resolve()
     if args.output_folder is None:
@@ -193,10 +208,27 @@ def run(args) -> int:
         return 0
 
     logger.info(f"Working in {args.input_folder}")
+    config = None
+    if getattr(args, "profile", "fly") != "fly":
+        from deepfly3d_tpu.config import h36m_config
+
+        config = h36m_config()
+    if getattr(args, "calib_prior", None):
+        if config is None:
+            from deepfly3d_tpu.config import fly_config
+
+            config = fly_config()
+        config.calib_prior_path = args.calib_prior
+    order = args.order
+    if config is not None and order == [0, 1, 2, 3, 4, 5, 6]:
+        # untouched default: adapt to the profile's camera count
+        order = list(range(config.num_cameras))
     timer = StageTimer()
     with timer.stage("setup"):
         core = Core(
-            args.input_folder, args.output_folder, args.num_images_max, args.order
+            args.input_folder, args.output_folder, args.num_images_max,
+            order, config=config,
+            streaming=getattr(args, "streaming", False),
         )
 
     if not args.skip_estimation:

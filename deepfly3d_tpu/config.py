@@ -137,6 +137,10 @@ def h36m_config() -> Config:
         left_cameras=(0, 1),
         right_cameras=(2, 3),
         flip_cameras=(),
+        # the per-side fly registration scheme (and its shipped template)
+        # does not apply to the human skeleton; raw triangulated points are
+        # the 3D output for this profile
+        procrustes_apply=False,
         network=NetworkConfig(
             num_stacks=4,
             num_features=128,

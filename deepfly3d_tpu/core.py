@@ -59,19 +59,35 @@ class Core:
         num_images_max: Optional[int] = None,
         camera_ordering: Optional[Sequence[int]] = (0, 1, 2, 3, 4, 5, 6),
         config: Optional[Config] = None,
+        streaming: bool = False,
     ):
+        """``streaming=True`` runs inference straight from the camera
+        videos (bounded-memory libav/cv2 decode, SURVEY N3) — no ffmpeg
+        expansion, no intermediate JPEGs on disk (the reference must
+        expand first, reference core.py:446-459)."""
         self.config = config or fly_config()
+        self.streaming = bool(streaming)
         self.input_folder = input_folder
         self.output_folder = (
             output_folder if output_folder is not None else self._input_folder + "_df3d"
         )
 
-        self.expand_videos()
+        if self.streaming and not discovery.list_videos(self._input_folder):
+            logger.warning(
+                "streaming requested but no camera videos found; "
+                "falling back to the image pipeline"
+            )
+            self.streaming = False
+        if not self.streaming:
+            self.expand_videos()
         self.fps = self.get_fps()
         self.num_images_max = num_images_max if num_images_max is not None else 0
-        self.max_img_id = discovery.get_max_img_id(
-            self._input_folder, self.config.num_cameras
-        )
+        if self.streaming:
+            self.max_img_id = discovery.video_frame_count(self._input_folder) - 1
+        else:
+            self.max_img_id = discovery.get_max_img_id(
+                self._input_folder, self.config.num_cameras
+            )
         if self.num_images_max > 0:
             self.num_images = min(self.num_images_max, self.max_img_id + 1)
             self.max_img_id = self.num_images - 1
@@ -156,6 +172,11 @@ class Core:
         if os.path.exists(image0):
             img = discovery.read_image(image0)
             probed = [img.shape[1], img.shape[0]]   # [width, height]
+        elif self.streaming:
+            vids = discovery.list_videos(self._input_folder)
+            if vids:
+                img = discovery.read_video_frame(vids[0], 0)
+                probed = [img.shape[1], img.shape[0]]
         configured = self.config.image_shape
         if configured is not None and probed is not None and list(configured) != probed:
             raise ValueError(
@@ -233,18 +254,32 @@ class Core:
         flip = [
             cam
             for idx, cam in enumerate(self.camera_ordering)
-            if idx > 3
+            if idx in self.config.flip_cameras
         ]
-        pts19, conf = self._estimator.infer_folder(
-            self._input_folder,
-            camera_ids_to_flip=flip,
-            max_img_id=self.max_img_id,
-            batch_size=batch_size,
-            num_cameras=self.config.num_cameras,
-        )
-        self.points2d = decode_mod.postprocess_points2d(
-            pts19, self.camera_ordering, self.config.num_joints
-        )
+        if self.streaming:
+            pts19, conf = self._estimator.infer_videos(
+                self._input_folder,
+                camera_ids_to_flip=flip,
+                batch_size=batch_size,
+                num_cameras=self.config.num_cameras,
+                max_frames=self.num_images,
+            )
+        else:
+            pts19, conf = self._estimator.infer_folder(
+                self._input_folder,
+                camera_ids_to_flip=flip,
+                max_img_id=self.max_img_id,
+                batch_size=batch_size,
+                num_cameras=self.config.num_cameras,
+            )
+        if self.config.network.num_predict == self.config.num_joints:
+            # full-pose profiles (e.g. h36m): every camera predicts every
+            # joint — no side scatter, no flip artifact
+            self.points2d = np.asarray(pts19, dtype=np.float64)
+        else:
+            self.points2d = decode_mod.postprocess_points2d(
+                pts19, self.camera_ordering, self.config.num_joints
+            )
         self.conf = conf
         self._invalidate_downstream()
 
@@ -442,10 +477,13 @@ class Core:
         points3d_wo = None
         if self.has_calibration:
             points3d_wo = self.triangulate()
-            with geometry_device():
-                points3d = procrustes.procrustes_separate(
-                    points3d_wo, self._template_points3d()
-                )
+            if self.config.procrustes_apply:
+                with geometry_device():
+                    points3d = procrustes.procrustes_separate(
+                        points3d_wo, self._template_points3d()
+                    )
+            else:
+                points3d = np.array(points3d_wo)
             self.points3d = points3d
         else:
             logger.debug("Triangulation skipped.")
@@ -465,9 +503,12 @@ class Core:
         if self._points3d_wo is None:
             self.triangulate()
         with geometry_device():
-            pts = procrustes.procrustes_separate(
-                np.copy(self._points3d_wo), self._template_points3d()
-            )
+            if self.config.procrustes_apply:
+                pts = procrustes.procrustes_separate(
+                    np.copy(self._points3d_wo), self._template_points3d()
+                )
+            else:
+                pts = np.copy(self._points3d_wo)
             pts = procrustes.normalize_pose_3d(pts, rotate=True)
             return filters.filter_batch(pts)
 
@@ -609,11 +650,13 @@ class Core:
     # ------------------------------------------------------------- plotting
 
     def get_image(self, cam_id: int, img_id: int) -> np.ndarray:
-        return discovery.read_image(
-            discovery.image_path_template(self._input_folder).format(
-                cam_id=cam_id, img_id=img_id
-            )
+        path = discovery.image_path_template(self._input_folder).format(
+            cam_id=cam_id, img_id=img_id
         )
+        if self.streaming and not os.path.exists(path):
+            vid = os.path.join(self._input_folder, f"camera_{cam_id}.mp4")
+            return discovery.read_video_frame(vid, img_id)
+        return discovery.read_image(path)
 
     def smooth_points2d(self, cam_id: int) -> np.ndarray:
         """Memoized adaptive-smoothed (x, y) pixel tracks for videos

@@ -135,6 +135,46 @@ def _probe_fps_one(vid: str) -> Optional[float]:
         return None
 
 
+def video_frame_count(folder: str) -> int:
+    """Minimum frame count across the folder's camera videos (0 if none).
+
+    The streaming pipeline's analog of ``get_max_img_id``+1: with no JPEGs
+    on disk the recording length comes from the demuxers directly
+    (replaces the reference's expand-then-binary-search flow,
+    reference core.py:446-459 + os_util.py:7-23).
+    """
+    import cv2
+
+    counts = []
+    for vid in list_videos(folder):
+        cap = cv2.VideoCapture(vid)
+        try:
+            if not cap.isOpened():
+                continue
+            n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        finally:
+            cap.release()
+        if n > 0:
+            counts.append(n)
+    return min(counts) if counts else 0
+
+
+def read_video_frame(vid: str, img_id: int) -> np.ndarray:
+    """RGB uint8 frame ``img_id`` of a video (seek-based; for plotting/GUI
+    in streaming mode — bulk inference uses the sequential decoders)."""
+    import cv2
+
+    cap = cv2.VideoCapture(vid)
+    try:
+        cap.set(cv2.CAP_PROP_POS_FRAMES, img_id)
+        ok, frame = cap.read()
+        if not ok:
+            raise IOError(f"Cannot read frame {img_id} from {vid}")
+        return cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+    finally:
+        cap.release()
+
+
 def expand_videos(folder: str, jpeg_quality: int = 94) -> None:
     """Expand each camera_{c}.mp4 into camera_{c}_img_{i}.jpg frames.
 
