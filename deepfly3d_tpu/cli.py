@@ -96,7 +96,8 @@ def parse_cli_args(argv=None):
                              "single recordings) replicates the reference "
                              "optimizer bit-for-bit; 'lm' is the batched "
                              "on-device Levenberg-Marquardt the fleet driver "
-                             "defaults to (~12x faster, accuracy-asserted "
+                             "defaults to (severalfold faster — see the "
+                             "bench artifact; accuracy-asserted "
                              "against the golden optimum).")
     parser.add_argument("--soft-argmax", action="store_true",
                         help="Sub-pixel heatmap decoding (off = reference-exact argmax)")

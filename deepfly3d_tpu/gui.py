@@ -8,6 +8,12 @@ known-bugs): the Save key calls working methods, error navigation uses the
 reprojection-error API that this Core actually implements, and the CLI
 args are parsed positionally without clobbering the output folder.
 
+All state and decisions live in the Qt-free ``gui_controller.GuiController``
+(navigation clamping, mode gating, the drag-correction flow, coordinate
+mapping) so the interaction logic is unit-tested headlessly
+(tests/test_gui_controller.py); this module only builds widgets, forwards
+events, and blits the controller's rendered frames.
+
 PyQt5 is optional at import time — the module raises a clear error only
 when the GUI is actually launched without PyQt5 installed.
 """
@@ -73,18 +79,19 @@ if HAS_PYQT:
     class DeepflyGUI(QW.QWidget):
         def __init__(self):
             super().__init__()
-            self.img_id = 0
             self.core = None
-            self.joint_being_dragged = None
+            self.ctl = None
 
         # ------------------------------------------------------------ setup
 
         def setup(self, input_folder=None, num_images_max=None):
             from deepfly3d_tpu.core import Core
+            from deepfly3d_tpu.gui_controller import GuiController
 
             if not input_folder:
                 input_folder = self.prompt_for_directory()
             self.core = Core(input_folder, None, num_images_max, None)
+            self.ctl = GuiController(self.core)
             self.setup_layout()
             self.onclick_image_mode()
 
@@ -122,7 +129,7 @@ if HAS_PYQT:
             )
             button_go = mb("Go", self.onclick_goto_img)
 
-            self.textbox_img_id = QW.QLineEdit(str(self.img_id), self)
+            self.textbox_img_id = QW.QLineEdit(str(self.ctl.img_id), self)
             self.textbox_img_id.setFixedWidth(100)
 
             self.combo_joint_id = QW.QComboBox(self)
@@ -181,53 +188,55 @@ if HAS_PYQT:
         # ------------------------------------------------------- navigation
 
         def onclick_first_image(self):
-            self.display_img(0)
+            self.ctl.first_image()
+            self.refresh()
 
         def onclick_last_image(self):
-            self.display_img(self.core.max_img_id)
+            self.ctl.last_image()
+            self.refresh()
 
         def onclick_prev_image(self):
-            self.display_img(max(self.img_id - 1, 0))
+            self.ctl.prev_image()
+            self.refresh()
 
         def onclick_next_image(self):
-            self.display_img(min(self.core.max_img_id, self.img_id + 1))
+            self.ctl.next_image()
+            self.refresh()
 
         def onclick_prev_error(self):
-            prev_img = self.core.prev_error(self.img_id)
-            if prev_img is not None:
-                self.display_img(prev_img)
+            ok, msg = self.ctl.prev_error()
+            if ok:
+                self.refresh()
             else:
-                self.display_error_message("No error remaining among previous images")
+                self.display_error_message(msg)
 
         def onclick_next_error(self):
-            next_img = self.core.next_error(self.img_id)
-            if next_img is not None:
-                self.display_img(next_img)
+            ok, msg = self.ctl.next_error()
+            if ok:
+                self.refresh()
             else:
-                self.display_error_message("No error remaining among next images")
+                self.display_error_message(msg)
 
         def onclick_goto_img(self):
-            try:
-                self.display_img(int(self.textbox_img_id.text()))
+            ok, msg = self.ctl.goto(self.textbox_img_id.text())
+            if ok:
+                self.refresh()
                 self.setFocus()
-            except (ValueError, AssertionError):
-                self.display_error_message("Textbox content should be an image id")
-                self.textbox_img_id.setText(str(self.img_id))
+            else:
+                self.display_error_message(msg)
+                self.textbox_img_id.setText(str(self.ctl.img_id))
 
         def onclick_save(self):
-            self.core.save()
-            self.core.save_corrections()
+            self.ctl.save()
 
         def onclick_auto_correct(self):
             """Pictorial-structures MAP over the camera graph; corrected
             leg keypoints are written into the session's points2d."""
-            if not self.core.has_calibration:
-                self.display_error_message(
-                    "Auto-correct needs calibration — run df3d-cli first."
-                )
-                return
-            self.core.solve_pictorial()
-            self.update_frame()
+            ok, msg = self.ctl.auto_correct()
+            if ok:
+                self.update_frame()
+            else:
+                self.display_error_message(msg)
 
         # ------------------------------------------------------------ modes
 
@@ -239,46 +248,33 @@ if HAS_PYQT:
             ):
                 b.setChecked(False)
 
-        def onclick_image_mode(self):
+        def _enter_mode(self, mode, button):
+            if not self.ctl.set_mode(mode):
+                return
             self.uncheck_mode_buttons()
-            self.button_image_mode.setChecked(True)
-            self.combo_joint_id.setEnabled(False)
-            self.display_method = lambda c, i, j: self.core.get_image(c, i)
+            button.setChecked(True)
+            self.combo_joint_id.setEnabled(self.ctl.joint_filter_enabled)
             self.update_frame()
+
+        def onclick_image_mode(self):
+            self._enter_mode("image", self.button_image_mode)
 
         def onclick_pose_mode(self):
-            if not self.core.has_pose:
-                return
-            self.uncheck_mode_buttons()
-            self.button_pose_mode.setChecked(True)
-            self.combo_joint_id.setEnabled(True)
-            self.display_method = lambda c, i, j: self.core.plot_2d(c, i, joints=j)
-            self.update_frame()
+            self._enter_mode("pose", self.button_pose_mode)
 
         def onclick_correction_mode(self):
-            if not self.core.has_pose:
-                return
-            self.uncheck_mode_buttons()
-            self.button_correction_mode.setChecked(True)
-            self.combo_joint_id.setEnabled(True)
-            self.display_method = lambda c, i, j: self.core.plot_2d(
-                c, i, with_corrections=True, joints=j
-            )
-            self.update_frame()
+            self._enter_mode("correction", self.button_correction_mode)
 
         # ---------------------------------------------------------- display
 
-        def display_img(self, img_id):
-            assert 0 <= img_id <= self.core.max_img_id
-            self.img_id = img_id
-            self.textbox_img_id.setText(str(img_id))
+        def refresh(self):
+            self.textbox_img_id.setText(str(self.ctl.img_id))
             self.update_frame()
 
         def update_frame(self, *_):
-            joints = self.combo_joint_id.currentData() or []
+            self.ctl.set_joint_filter(self.combo_joint_id.currentData() or [])
             for iv in self.image_views:
-                image = self.display_method(iv.cam_id, self.img_id, joints)
-                self._set_image(iv, image)
+                self._set_image(iv, self.ctl.render(iv.cam_id))
 
         def _set_image(self, image_view, image: np.ndarray):
             image = np.ascontiguousarray(image)
@@ -315,36 +311,27 @@ if HAS_PYQT:
                 self.onclick_correction_mode()
             elif key == Qt.Key_T:
                 self.onclick_save()
+            # the full key map lives in GuiController.handle_key; the Qt
+            # branches above additionally sync the checked-button state
 
         def eventFilter(self, source, event):
-            """Click-drag joint correction (reference gui.py:437-463)."""
-            if not self.button_correction_mode.isChecked():
-                return super().eventFilter(source, event)
+            """Click-drag joint correction (reference gui.py:437-463);
+            the press/drag/release flow is GuiController's."""
             cam_id = getattr(source, "cam_id", None)
             if cam_id is None:
                 return super().eventFilter(source, event)
-            w, h = self.core.image_shape
             if event.type() == QEvent.MouseButtonPress:
-                x = event.pos().x() * w / source.width()
-                y = event.pos().y() * h / source.height()
-                self.joint_being_dragged = self.core.nearest_joint(
-                    cam_id, self.img_id, x, y
-                )
-                return True
-            if (
-                event.type() == QEvent.MouseMove
-                and self.joint_being_dragged is not None
-            ):
-                x = event.pos().x() * w / source.width()
-                y = event.pos().y() * h / source.height()
-                self.core.move_joint(
-                    cam_id, self.img_id, self.joint_being_dragged, x, y
-                )
-                self.update_frame()
-                return True
-            if event.type() == QEvent.MouseButtonRelease:
-                self.joint_being_dragged = None
-                return True
+                if self.ctl.press(cam_id, event.pos().x(), event.pos().y(),
+                                  source.width(), source.height()):
+                    return True
+            elif event.type() == QEvent.MouseMove:
+                if self.ctl.drag(cam_id, event.pos().x(), event.pos().y(),
+                                 source.width(), source.height()):
+                    self.update_frame()
+                    return True
+            elif event.type() == QEvent.MouseButtonRelease:
+                if self.ctl.release():
+                    return True
             return super().eventFilter(source, event)
 
 else:
