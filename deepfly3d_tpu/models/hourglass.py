@@ -53,7 +53,18 @@ class HourglassSpec:
     #         sub-patch phase — a 1-px input shift changes patch contents
     #         discontinuously, which caps exact argmax-cell accuracy; the
     #         2x-overlap restores cross-patch context for ~10% more FLOPs.
+    # "patch16": overlapping 16x16 stride-8 embedding — the trunk runs at
+    #         1/8 resolution (4x fewer cells than the /4 stems, ~4x less
+    #         trunk compute); pair with head_upsample=2 so the heatmap
+    #         head still emits input/4-resolution maps via a subpixel
+    #         (depth-to-space) decode.
     stem: str = "conv"
+    # heatmap head upsampling factor: the score conv predicts
+    # classes*u^2 channels at trunk resolution which depth-to-space
+    # rearranges to (H*u, W*u, classes) — each output cell gets its own
+    # linear predictor, so argmax-cell precision is learned, not
+    # interpolated.  1 = classic head (heatmaps at trunk resolution).
+    head_upsample: int = 1
     # (h, w) the weights were trained at.  Convolutions are shape-
     # polymorphic but golden parity only holds at the training resolution,
     # so checkpoints carry it and consumers treat it as the source of
@@ -153,7 +164,19 @@ class HourglassNet(nn.Module):
         mom = s.bn_momentum
         x = x.astype(dt)
 
-        if s.stem == "patch8":
+        if s.stem == "patch16":
+            # overlapping embed straight to H/8 x W/8 (use head_upsample=2
+            # to keep input/4-resolution heatmaps)
+            y = nn.Conv(s.features, (16, 16), strides=(8, 8), padding=4,
+                        use_bias=True, dtype=dt, name="patch_embed")(x)
+            y = nn.BatchNorm(use_running_average=not train, dtype=dt,
+                             momentum=mom, name="stem_bn")(y)
+            y = nn.relu(y)
+            y = Bottleneck(s.features, dtype=dt, momentum=mom,
+                           name="stem_res2")(y, train)
+            y = Bottleneck(s.features, dtype=dt, momentum=mom,
+                           name="stem_res3")(y, train)
+        elif s.stem == "patch8":
             # overlapping embed straight to H/4 x W/4
             y = nn.Conv(s.features, (8, 8), strides=(4, 4), padding=2,
                         use_bias=True, dtype=dt, name="patch_embed")(x)
@@ -194,6 +217,7 @@ class HourglassNet(nn.Module):
             y = Bottleneck(s.features, dtype=dt, momentum=mom,
                            name="stem_res3")(y, train)
 
+        u = s.head_upsample
         outputs = []
         for i in range(s.num_stacks):
             hg = Hourglass(s.features, s.depth, s.num_blocks, dtype=dt,
@@ -205,19 +229,32 @@ class HourglassNet(nn.Module):
             f = nn.BatchNorm(use_running_average=not train, dtype=dt,
                              momentum=mom, name=f"feat_bn{i}")(f)
             f = nn.relu(f)
-            score = nn.Conv(s.num_classes, (1, 1), use_bias=True,
-                            dtype=jnp.float32, name=f"score{i}")(
+            raw = nn.Conv(s.num_classes * u * u, (1, 1), use_bias=True,
+                          dtype=jnp.float32, name=f"score{i}")(
                 f.astype(jnp.float32)
             )
+            if u > 1:
+                # subpixel decode: (N,H,W,u*u*K) -> (N,H*u,W*u,K); output
+                # cell (h*u+dy, w*u+dx) reads channel block (dy*u+dx)
+                n, hh, ww, _ = raw.shape
+                score = (
+                    raw.reshape(n, hh, ww, u, u, s.num_classes)
+                    .transpose(0, 1, 3, 2, 4, 5)
+                    .reshape(n, hh * u, ww * u, s.num_classes)
+                )
+            else:
+                score = raw
             outputs.append(score)
             if i < s.num_stacks - 1:
-                # re-inject features and predictions into the trunk
+                # re-inject features and predictions into the trunk (the
+                # pre-shuffle channels carry the prediction at trunk
+                # resolution, so re-injection is resolution-agnostic)
                 y = (
                     y
                     + nn.Conv(s.features, (1, 1), use_bias=True, dtype=dt,
                               name=f"remap_feat{i}")(f)
                     + nn.Conv(s.features, (1, 1), use_bias=True, dtype=dt,
-                              name=f"remap_score{i}")(score.astype(dt))
+                              name=f"remap_score{i}")(raw.astype(dt))
                 )
         return jnp.stack(outputs)
 
@@ -248,6 +285,7 @@ def save_weights(path: str, variables, spec: HourglassSpec) -> None:
         "__spec__/expansion": spec.expansion,
         "__spec__/bn_momentum": float(spec.bn_momentum),
         "__spec__/stem": spec.stem,
+        "__spec__/head_upsample": spec.head_upsample,
     }
     if spec.input_shape is not None:
         meta["__spec__/input_shape"] = np.asarray(spec.input_shape, np.int64)

@@ -20,6 +20,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# persistent compilation cache: the anneal-ladder phases re-jit the same
+# train/eval programs — caching saves minutes per phase through the tunnel
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -42,11 +49,14 @@ def main():
     ap.add_argument("--steps", type=int, default=16000)
     ap.add_argument("--features", type=int, default=96)
     ap.add_argument("--stacks", type=int, default=2)
-    ap.add_argument("--stem", choices=["conv", "patchify", "patch8"],
+    ap.add_argument("--stem", choices=["conv", "patchify", "patch8",
+                                       "patch16"],
                     default="conv",
                     help="'patchify' is the TPU student stem: a 4x4 patch "
                          "embedding (one MXU matmul) instead of high-res "
-                         "stem convolutions")
+                         "stem convolutions; 'patch16' runs the trunk at "
+                         "1/8 resolution (pairs with a 2x subpixel head "
+                         "so heatmaps stay at input/4)")
     ap.add_argument("--depth", type=int, default=4)
     ap.add_argument("--input", default="256x512",
                     help="network input HxW; heatmaps are input/4")
@@ -165,6 +175,9 @@ def main():
             depth=args.depth, stem=args.stem, num_classes=19,
             input_shape=INPUT_SHAPE,
             compute_dtype=jnp.dtype(args.dtype).type,
+            # the 1/8-resolution trunk needs the 2x subpixel head to keep
+            # input/4 heatmaps (the golden decode grid)
+            head_upsample=2 if args.stem == "patch16" else 1,
         )
     golden_p2 = golden["points2d"]
     golden_conf = golden["heatmap_confidence"]

@@ -134,3 +134,65 @@ class TestDecode:
         pred19 = np.where(known[..., None], coords, 0.0)
         rebuilt = decode_mod.postprocess_points2d(pred19, order)
         np.testing.assert_allclose(rebuilt, golden_2d["points2d"], atol=0)
+
+
+class TestPatch16SubpixelHead:
+    """The 1/8-resolution trunk + 2x depth-to-space head still emits
+    input/4 heatmaps (the golden decode grid) and survives checkpoint
+    round-trips."""
+
+    def test_shapes_and_roundtrip(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from deepfly3d_tpu.models.hourglass import (
+            HourglassNet, HourglassSpec, init_params, load_weights,
+            save_weights,
+        )
+
+        spec = HourglassSpec(
+            num_stacks=2, features=8, depth=2, stem="patch16",
+            head_upsample=2, num_classes=19, input_shape=(64, 128),
+        )
+        v = init_params(spec, (64, 128), jax.random.PRNGKey(0))
+        out = HourglassNet(spec).apply(
+            v, jnp.zeros((1, 64, 128, 3)), train=False
+        )
+        assert out.shape == (2, 1, 16, 32, 19)
+        path = str(tmp_path / "p16.npz")
+        save_weights(path, v, spec)
+        v2, spec2 = load_weights(path)
+        assert spec2.head_upsample == 2 and spec2.stem == "patch16"
+        out2 = HourglassNet(spec2).apply(
+            v2, jnp.zeros((1, 64, 128, 3)), train=False
+        )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+    def test_depth_to_space_layout(self):
+        """Each output cell (h*2+dy, w*2+dx) must read channel block
+        dy*2+dx — a mislaid transpose would scramble argmax decoding."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        u, K = 2, 3
+        n, H, W = 1, 2, 2
+        raw = jnp.arange(n * H * W * u * u * K, dtype=jnp.float32).reshape(
+            n, H, W, u * u * K
+        )
+        score = (
+            raw.reshape(n, H, W, u, u, K)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(n, H * u, W * u, K)
+        )
+        score = np.asarray(score)
+        raw = np.asarray(raw)
+        for h in range(H):
+            for w in range(W):
+                for dy in range(u):
+                    for dx in range(u):
+                        for k in range(K):
+                            assert score[0, h * u + dy, w * u + dx, k] == (
+                                raw[0, h, w, (dy * u + dx) * K + k]
+                            )
