@@ -255,6 +255,127 @@ def _block_kernel_v3(
     out_ref[0] = (z3 + res).astype(out_ref.dtype)
 
 
+def _block_kernel_v4(
+    x_ref, xb_ref,
+    s1_ref, t1_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+    *rest,
+    HC: int, W: int, J: int, cmid: int, has_proj: bool, cdtype,
+):
+    """v4: row-tiled grid WITHOUT redundant halo traffic.
+
+    The v3 post-mortem (docs/ARCHITECTURE.md) identified two costs that
+    made the grid-pipelined kernel lose to XLA: (a) every x row was
+    fetched THREE times (its own tile + both neighbours' halo blocks),
+    and (b) im2col materialized a 9*Cmid-wide copy of a2.  v4 removes
+    both:
+
+    * TOP halo: TPU grid steps run sequentially per core and scratch
+      persists across them — the last input row of tile j is stashed in
+      ``carry_ref`` and read back as tile j+1's top halo (zero extra HBM
+      traffic; masked to the conv's zero padding at image boundaries).
+    * BOTTOM halo: a separate 1-row BlockSpec fetches only row
+      (j+1)*HC — 1/HC extra traffic instead of a whole duplicate tile.
+    * The 3x3 conv stays in the v1 shifted-dot formulation: nine
+      (M, Cmid) @ (Cmid, Cmid) MXU dots accumulated in f32, no im2col
+      copy.  Mosaic's grid pipeline double-buffers the x/out tiles, so
+      tile DMA overlaps the previous tile's compute.
+    """
+    if has_proj:
+        wp_ref, bp_ref, out_ref, a2p_ref, carry_ref = rest
+    else:
+        out_ref, a2p_ref, carry_ref = rest
+    j = pl.program_id(1)
+    s1 = s1_ref[0]
+    t1 = t1_ref[0]
+
+    def a1_of(rows):
+        return jnp.maximum(rows * s1 + t1, 0).astype(cdtype)
+
+    x_mid = x_ref[0]                                   # (HC, W, Cin)
+    a1_mid = a1_of(x_mid)
+    # top halo: previous tile's last row, carried in scratch (garbage at
+    # j == 0 — masked to the zero padding of nn.Conv(padding=1))
+    a1_top = a1_of(carry_ref[...])                     # (1, W, Cin)
+    a1_top = jnp.where(j > 0, a1_top, jnp.zeros_like(a1_top))
+    a1_bot = a1_of(xb_ref[0])                          # (1, W, Cin)
+    a1_bot = jnp.where(j < J - 1, a1_bot, jnp.zeros_like(a1_bot))
+    a1_ext = jnp.concatenate([a1_top, a1_mid, a1_bot], axis=0)
+
+    z1 = _dotf32(a1_ext, w1_ref[:]) + b1_ref[0]
+    a2 = jnp.maximum(z1, 0).astype(cdtype)             # (HC+2, W, Cmid)
+    a2p_ref[...] = jnp.zeros_like(a2p_ref)
+    a2p_ref[:, 1:W + 1, :] = a2
+    acc = jnp.broadcast_to(b2_ref[0], (HC, W, cmid)).astype(jnp.float32)
+    for k in range(9):
+        dy, dx = divmod(k, 3)
+        acc = acc + _dotf32(a2p_ref[dy:dy + HC, dx:dx + W, :], w2_ref[k])
+    a3 = jnp.maximum(acc, 0).astype(cdtype)
+    z3 = _dotf32(a3, w3_ref[:]) + b3_ref[0]
+    if has_proj:
+        res = _dotf32(a1_mid, wp_ref[:]) + bp_ref[0]
+    else:
+        res = x_mid.astype(jnp.float32)
+    out_ref[0] = (z3 + res).astype(out_ref.dtype)
+    # stash this tile's last row for the next tile's top halo
+    carry_ref[...] = x_mid[HC - 1:HC]
+
+
+def _fused_bottleneck_v4(x: jnp.ndarray, folded: Dict[str, jnp.ndarray],
+                         interpret: Optional[bool] = None,
+                         hc: Optional[int] = None) -> jnp.ndarray:
+    """Launch _block_kernel_v4 on grid (N, H/HC)."""
+    n, h, w, cin = x.shape
+    cmid = folded["w1"].shape[1]
+    cout = folded["w3"].shape[1]
+    has_proj = "wp" in folded
+    cdtype = x.dtype
+
+    if hc is None:
+        hc = max(min(4096 // w, h), 8)
+    hc = min(hc, h)
+    while h % hc:
+        hc -= 1
+    J = h // hc
+
+    names = ["s1", "t1", "w1", "b1", "w2", "b2", "w3", "b3"]
+    if has_proj:
+        names += ["wp", "bp"]
+    param_args = [folded[k] for k in names]
+    param_specs = [
+        pl.BlockSpec(folded[k].shape,
+                     (lambda *_, nd=folded[k].ndim: (0,) * nd),
+                     memory_space=pltpu.VMEM)
+        for k in names
+    ]
+
+    def bot_idx(i, j):
+        # 1-row block units: row index of the NEXT tile's first row
+        return (i, jnp.minimum((j + 1) * hc, h - 1), 0, 0)
+
+    kernel = partial(
+        _block_kernel_v4, HC=hc, W=w, J=J, cmid=cmid, has_proj=has_proj,
+        cdtype=cdtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n, J),
+        in_specs=[
+            pl.BlockSpec((1, hc, w, cin), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, w, cin), bot_idx, memory_space=pltpu.VMEM),
+            *param_specs,
+        ],
+        out_specs=pl.BlockSpec((1, hc, w, cout), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, cout), cdtype),
+        scratch_shapes=[
+            pltpu.VMEM((hc + 2, w + 2, cmid), cdtype),
+            pltpu.VMEM((1, w, cin), cdtype),
+        ],
+        interpret=_interpret() if interpret is None else interpret,
+    )(x, x, *param_args)
+
+
 @partial(jax.jit, static_argnames=("interpret", "version"))
 def fused_bottleneck(x: jnp.ndarray, folded: Dict[str, jnp.ndarray],
                      interpret: Optional[bool] = None,
@@ -264,7 +385,7 @@ def fused_bottleneck(x: jnp.ndarray, folded: Dict[str, jnp.ndarray],
     cmid = folded["w1"].shape[1]
     cout = folded["w3"].shape[1]
     has_proj = "wp" in folded
-    if version != 3:
+    if version not in (3, 4):
         # whole-image VMEM residency (v1/v2): reject blocks whose
         # lane-padded x/out blocks alone would blow the ~16MB budget
         lane = 128
@@ -282,6 +403,8 @@ def fused_bottleneck(x: jnp.ndarray, folded: Dict[str, jnp.ndarray],
         return _fused_bottleneck_v3(
             x, dict(folded), interpret=interpret
         )
+    if version == 4:
+        return _fused_bottleneck_v4(x, dict(folded), interpret=interpret)
 
     folded = dict(folded)
     if version == 2:

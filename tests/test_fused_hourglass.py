@@ -60,10 +60,12 @@ class TestFusedBottleneck:
         np.testing.assert_allclose(np.asarray(fused), np.asarray(oracle),
                                    atol=2e-4, rtol=1e-4)
 
-    @pytest.mark.parametrize("version", [1, 2, 3])
+    @pytest.mark.parametrize("version", [1, 2, 3, 4])
     def test_kernel_versions_match(self, version):
-        """v1 (nine K=Cmid dots), v2 (one im2col K=9*Cmid dot) and v3
-        (row-tiled grid with halo block-index maps) agree with the oracle."""
+        """v1 (nine K=Cmid dots), v2 (one im2col K=9*Cmid dot), v3
+        (row-tiled grid with halo block-index maps) and v4 (row-tiled with
+        scratch-carried top halo + 1-row bottom lookahead) agree with the
+        oracle."""
         from deepfly3d_tpu.models.hourglass import Bottleneck
 
         block = Bottleneck(32)
@@ -144,3 +146,31 @@ class TestFusedNet:
         np.testing.assert_array_equal(np.asarray(pts), np.asarray(pts_ref))
         np.testing.assert_allclose(np.asarray(conf), np.asarray(conf_ref),
                                    atol=1e-3)
+
+
+class TestV4Proj:
+    def test_v4_with_projection_and_nonsquare(self):
+        """v4 on a width-changing block (proj path) and a tile count > 2 so
+        the carry-forward halo crosses several tiles and images."""
+        from deepfly3d_tpu.models.hourglass import Bottleneck
+
+        from deepfly3d_tpu.ops.pallas.bottleneck import (
+            bottleneck_xla, fold_bottleneck, fused_bottleneck,
+        )
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        block = Bottleneck(64)   # cin 32 -> cout 64: proj fires
+        x = jax.random.normal(
+            jax.random.PRNGKey(21), (3, 32, 16, 32), jnp.float32
+        )
+        variables = block.init(jax.random.PRNGKey(22), x, False)
+        folded = fold_bottleneck(
+            variables["params"], variables["batch_stats"], dtype=jnp.float32
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused_bottleneck(x, folded, version=4)),
+            np.asarray(bottleneck_xla(x, folded)),
+            atol=2e-4, rtol=1e-4,
+        )
