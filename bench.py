@@ -284,13 +284,40 @@ def main():
     # Candidate ladder, fastest first.  T per config: f32 activations at
     # T=128 exceed the chip's HBM, bf16 fits (measured round 1).
     candidates = []
-    if os.path.exists(FAST64) and not os.environ.get("DF3D_BENCH_SKIP_FAST"):
-        fast_vars, fast_spec = load_weights(FAST64)
+    fast_path = os.environ.get("DF3D_BENCH_STUDENT", FAST64)
+    if os.path.exists(fast_path) and not os.environ.get(
+        "DF3D_BENCH_SKIP_FAST"
+    ):
+        fast_vars, fast_spec = load_weights(fast_path)
         fast_spec = HourglassSpec(
             **{**fast_spec.__dict__, "compute_dtype": jnp.bfloat16}
         )
+        # cascade: student everywhere + static top-R parity repair of the
+        # most multi-view-inconsistent images (models/cascade.py) — the
+        # candidate that can hold the contract at student speed
+        from deepfly3d_tpu.models import cascade as cascade_mod
+
+        repair_frac = float(os.environ.get("DF3D_BENCH_REPAIR_FRAC", "0.125"))
+        teacher_bf16 = HourglassSpec(
+            **{**parity_spec.__dict__, "compute_dtype": jnp.bfloat16}
+        )
+
+        def make_cascade(spec_s, vars_s):
+            def build(calib_, order_):
+                return cascade_mod.build_cascade_pipeline(
+                    vars_s, spec_s, parity_vars, teacher_bf16,
+                    calib_, order_,
+                    cascade_mod.CascadeConfig(repair_frac=repair_frac),
+                )
+            return build
+
         candidates.append((
-            "fast64 student bf16",
+            f"cascade student+{int(repair_frac * 100)}%-parity-repair bf16",
+            make_cascade(fast_spec, fast_vars),
+            128,
+        ))
+        candidates.append((
+            "fast student bf16 (no repair)",
             (fast_spec, fast_vars,
              tuple(fast_spec.input_shape or (256, 512)), None),
             128,
@@ -304,11 +331,15 @@ def main():
 
     official = None
     results = []
-    for label, (spec, variables, input_shape, precision), T in candidates:
+    for label, cfg, T in candidates:
         T = int(os.environ.get("DF3D_BENCH_T", str(T)))
-        pipeline = build_pipeline(
-            spec, variables, calib, order, input_shape, precision
-        )
+        if callable(cfg):
+            pipeline = cfg(calib, order)
+        else:
+            spec, variables, input_shape, precision = cfg
+            pipeline = build_pipeline(
+                spec, variables, calib, order, input_shape, precision
+            )
         pts_err, conf_err, passes = verify_contract(
             pipeline, golden_frames, golden
         )
