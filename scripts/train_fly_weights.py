@@ -95,6 +95,14 @@ def main():
                          "complete solution, a far better-behaved target "
                          "than synthetic gaussians for closing the last "
                          "wrong-argmax cells")
+    ap.add_argument("--augment-envelope", action="store_true",
+                    help="widen the robustness envelope: the training pool "
+                         "gains shifted (+-4/8 px, coordinate-corrected "
+                         "targets), gain-scaled (0.9-1.1) and JPEG-"
+                         "re-encoded (q70/80) variants of every image — "
+                         "the exact transforms scripts/measure_robustness "
+                         "sweeps — while keep-best stays gated on CLEAN "
+                         "golden parity (clean copies are oversampled 4x)")
     ap.add_argument("--self-distill", action="store_true",
                     help="with --resume: label surgery — heatmap targets "
                          "become the net's OWN outputs except the still-"
@@ -155,6 +163,65 @@ def main():
     targets, peak_cells = train_mod.render_target_heatmaps(
         coords, peaks, known, HEATMAP_SHAPE, sigma=args.sigma
     )
+
+    if args.augment_envelope:
+        assert not (args.distill_teacher or args.self_distill), (
+            "--augment-envelope is not combinable with distillation flags"
+        )
+        # Envelope-widening pool (VERDICT r3 item: the shipped weights'
+        # parity collapses at +-2 px shift / +-5% gain).  Each variant
+        # applies one of the EXACT transforms measure_robustness.py
+        # sweeps, with coordinate-corrected targets for the shifts; the
+        # conf targets stay the clean golden values (robustness = same
+        # output under input drift).  Clean copies are oversampled so the
+        # keep-best clean-parity gate has gradient mass behind it.
+        import cv2
+
+        def reencode(imgs, q):
+            return np.stack([
+                cv2.imdecode(
+                    cv2.imencode(".jpg", im[:, :, ::-1],
+                                 [cv2.IMWRITE_JPEG_QUALITY, q])[1],
+                    cv2.IMREAD_COLOR,
+                )[:, :, ::-1]
+                for im in imgs
+            ])
+
+        pool_imgs = [images] * 4               # clean x4
+        pool_coords = [coords] * 4
+        variants = []
+        for dx in (-8, -4, 4, 8):
+            shifted = np.roll(raw, dx, axis=2)
+            # right-side cameras are h-flipped before the network, so a
+            # +dx raw shift moves their net-frame column by -dx/960
+            dcol = np.where(flips, -dx / 960.0, dx / 960.0)
+            c2 = coords.copy()
+            c2[..., 1] = c2[..., 1] + dcol[:, None]
+            variants.append((shifted, c2))
+        for gain in (0.9, 0.95, 1.05, 1.1):
+            g = np.clip(raw.astype(np.float32) * gain, 0, 255).astype(
+                np.uint8
+            )
+            variants.append((g, coords))
+        for q in (80, 70):
+            variants.append((reencode(raw, q), coords))
+        for raw_v, c_v in variants:
+            pool_imgs.append(np.asarray(
+                preprocess(jnp.asarray(raw_v), jnp.asarray(flips))
+            ))
+            pool_coords.append(c_v)
+        n_rep = len(pool_imgs)
+        images = np.concatenate(pool_imgs)
+        all_coords = np.concatenate(pool_coords)
+        peaks_pool = np.tile(peaks, (n_rep, 1))
+        known_pool = np.tile(known, (n_rep, 1))
+        targets, peak_cells = train_mod.render_target_heatmaps(
+            all_coords, peaks_pool, known_pool, HEATMAP_SHAPE,
+            sigma=args.sigma,
+        )
+        peaks = peaks_pool
+        print(f"augment-envelope pool: {images.shape[0]} images "
+              f"({n_rep - 4} augmented variants + 4x clean)", flush=True)
 
     # ---------------- eval: full pipeline vs golden
     init_variables = None
