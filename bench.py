@@ -322,6 +322,22 @@ def main():
              tuple(fast_spec.input_shape or (256, 512)), None),
             128,
         ))
+    bf16_tuned = os.path.join(ROOT, "weights", "hourglass_fly_bf16.npz")
+    if os.path.exists(bf16_tuned):
+        # the parity checkpoint fine-tuned THROUGH the deployed TPU bf16
+        # forward (scripts/train_fly_weights.py --dtype bfloat16): the
+        # optimizer absorbs the deterministic rounding that pushes the
+        # stock checkpoint's bf16 confidence past the 0.002 contract
+        tuned_vars, tuned_spec = load_weights(bf16_tuned)
+        tuned_spec = HourglassSpec(
+            **{**tuned_spec.__dict__, "compute_dtype": jnp.bfloat16}
+        )
+        candidates.append((
+            "parity bf16 (bf16-through fine-tune)",
+            (tuned_spec, tuned_vars,
+             tuple(tuned_spec.input_shape or (256, 512)), None),
+            128,
+        ))
     candidates += [
         ("parity bf16", parity_cfg(jnp.bfloat16, None), 128),
         ("parity f32", parity_cfg(jnp.float32, None), 64),
