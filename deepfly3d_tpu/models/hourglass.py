@@ -70,6 +70,30 @@ class HourglassSpec:
     # so checkpoints carry it and consumers treat it as the source of
     # truth (None = legacy checkpoint; callers fall back to their config).
     input_shape: Optional[Tuple[int, int]] = None
+    # Late-layer matmul precision pinning (TPU-only concern): float32
+    # convolutions default to a fast single-pass bf16 MXU mode whose
+    # rounding adds ~+0.0003 confidence drift vs the golden contract
+    # (docs/ARCHITECTURE.md precision ladder).  Drift accumulates through
+    # the forward, so pinning only the LATE layers buys back most of the
+    # precision at a fraction of the full-"highest" slowdown.  ``hp_scope``
+    # pins every conv from a point in the forward onward to
+    # ``hp_precision``:
+    #   None     - no pinning (XLA default everywhere)
+    #   "score"  - the f32 score heads only
+    #   "head"   - the final stack's head (feat_res onward)
+    #   "stack"  - the final hourglass onward
+    #   "all"    - every conv
+    # This is a deployment policy, not a checkpoint property — it is not
+    # serialized by save_weights.
+    hp_scope: Optional[str] = None
+    hp_precision: str = "highest"
+
+
+def _resolve_precision(name: str):
+    return {
+        "high": jax.lax.Precision.HIGH,        # ~bf16_3x ("tensorfloat32")
+        "highest": jax.lax.Precision.HIGHEST,  # ~bf16_6x (full f32)
+    }[name]
 
 
 class Bottleneck(nn.Module):
@@ -78,6 +102,7 @@ class Bottleneck(nn.Module):
     features: int               # output channels
     dtype: Any = jnp.float32
     momentum: float = 0.99
+    precision: Any = None       # matmul precision for this block's convs
 
     def _bn(self, name, train):
         return nn.BatchNorm(
@@ -94,17 +119,18 @@ class Bottleneck(nn.Module):
         # project the skip from the post-activation tensor when widths differ
         if x.shape[-1] != self.features:
             residual = nn.Conv(self.features, (1, 1), use_bias=True,
-                               dtype=self.dtype, name="proj")(y)
+                               dtype=self.dtype, precision=self.precision,
+                               name="proj")(y)
         y = nn.Conv(mid, (1, 1), use_bias=True, dtype=self.dtype,
-                    name="conv1")(y)
+                    precision=self.precision, name="conv1")(y)
         y = self._bn("bn2", train)(y)
         y = nn.relu(y)
         y = nn.Conv(mid, (3, 3), padding=1, use_bias=True, dtype=self.dtype,
-                    name="conv2")(y)
+                    precision=self.precision, name="conv2")(y)
         y = self._bn("bn3", train)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (1, 1), use_bias=True, dtype=self.dtype,
-                    name="conv3")(y)
+                    precision=self.precision, name="conv3")(y)
         return y + residual
 
 
@@ -124,6 +150,7 @@ class Hourglass(nn.Module):
     num_blocks: int
     dtype: Any = jnp.float32
     momentum: float = 0.99
+    precision: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -131,6 +158,7 @@ class Hourglass(nn.Module):
             for i in range(self.num_blocks):
                 y = Bottleneck(self.features, dtype=self.dtype,
                                momentum=self.momentum,
+                               precision=self.precision,
                                name=f"{name}{i}")(y, train)
             return y
 
@@ -164,29 +192,46 @@ class HourglassNet(nn.Module):
         mom = s.bn_momentum
         x = x.astype(dt)
 
+        # late-layer precision pinning (see HourglassSpec.hp_scope)
+        hp = _resolve_precision(s.hp_precision) if s.hp_scope else None
+        scope = s.hp_scope
+        stem_prec = hp if scope == "all" else None
+
+        def stack_prec(i):
+            """(trunk, head, score) precision for stack i."""
+            last = i == s.num_stacks - 1
+            trunk = hp if (scope == "all" or (scope == "stack" and last)) \
+                else None
+            head = hp if (trunk is not None
+                          or (scope == "head" and last)) else None
+            score = hp if (head is not None or scope == "score") else None
+            return trunk, head, score
+
         if s.stem == "patch16":
             # overlapping embed straight to H/8 x W/8 (use head_upsample=2
             # to keep input/4-resolution heatmaps)
             y = nn.Conv(s.features, (16, 16), strides=(8, 8), padding=4,
-                        use_bias=True, dtype=dt, name="patch_embed")(x)
+                        use_bias=True, dtype=dt, precision=stem_prec,
+                        name="patch_embed")(x)
             y = nn.BatchNorm(use_running_average=not train, dtype=dt,
                              momentum=mom, name="stem_bn")(y)
             y = nn.relu(y)
             y = Bottleneck(s.features, dtype=dt, momentum=mom,
-                           name="stem_res2")(y, train)
+                           precision=stem_prec, name="stem_res2")(y, train)
             y = Bottleneck(s.features, dtype=dt, momentum=mom,
-                           name="stem_res3")(y, train)
+                           precision=stem_prec, name="stem_res3")(y, train)
         elif s.stem == "patch8":
             # overlapping embed straight to H/4 x W/4
             y = nn.Conv(s.features, (8, 8), strides=(4, 4), padding=2,
-                        use_bias=True, dtype=dt, name="patch_embed")(x)
+                        use_bias=True, dtype=dt, precision=stem_prec,
+                        name="patch_embed")(x)
             y = nn.BatchNorm(use_running_average=not train, dtype=dt,
                              momentum=mom, name="stem_bn")(y)
             y = nn.relu(y)
             y = Bottleneck(s.features, dtype=dt, momentum=mom,
-                           name="stem_res2")(y, train)
+                           precision=stem_prec, name="stem_res2")(y, train)
             y = Bottleneck(s.features, dtype=dt, momentum=mom,
-                           name="stem_res3")(y, train)
+                           precision=stem_prec, name="stem_res3")(y, train)
         elif s.stem == "patchify":
             # 4x4 space-to-depth + linear embed: one MXU matmul from pixels
             # to trunk features at H/4 x W/4, then two low-res residuals
@@ -199,38 +244,42 @@ class HourglassNet(nn.Module):
                              momentum=mom, name="stem_bn")(y)
             y = nn.relu(y)
             y = Bottleneck(s.features, dtype=dt, momentum=mom,
-                           name="stem_res2")(y, train)
+                           precision=stem_prec, name="stem_res2")(y, train)
             y = Bottleneck(s.features, dtype=dt, momentum=mom,
-                           name="stem_res3")(y, train)
+                           precision=stem_prec, name="stem_res3")(y, train)
         else:
             # stem: /2 conv, residual, /2 pool, residuals -> features @ H/4
             y = nn.Conv(s.features // 2, (7, 7), strides=(2, 2), padding=3,
-                        use_bias=True, dtype=dt, name="stem_conv")(x)
+                        use_bias=True, dtype=dt, precision=stem_prec,
+                        name="stem_conv")(x)
             y = nn.BatchNorm(use_running_average=not train, dtype=dt,
                              momentum=mom, name="stem_bn")(y)
             y = nn.relu(y)
             y = Bottleneck(s.features, dtype=dt, momentum=mom,
-                           name="stem_res1")(y, train)
+                           precision=stem_prec, name="stem_res1")(y, train)
             y = nn.max_pool(y, (2, 2), strides=(2, 2))
             y = Bottleneck(s.features, dtype=dt, momentum=mom,
-                           name="stem_res2")(y, train)
+                           precision=stem_prec, name="stem_res2")(y, train)
             y = Bottleneck(s.features, dtype=dt, momentum=mom,
-                           name="stem_res3")(y, train)
+                           precision=stem_prec, name="stem_res3")(y, train)
 
         u = s.head_upsample
         outputs = []
         for i in range(s.num_stacks):
+            p_trunk, p_head, p_score = stack_prec(i)
             hg = Hourglass(s.features, s.depth, s.num_blocks, dtype=dt,
-                           momentum=mom, name=f"hg{i}")(y, train)
+                           momentum=mom, precision=p_trunk,
+                           name=f"hg{i}")(y, train)
             f = Bottleneck(s.features, dtype=dt, momentum=mom,
-                           name=f"feat_res{i}")(hg, train)
+                           precision=p_head, name=f"feat_res{i}")(hg, train)
             f = nn.Conv(s.features, (1, 1), use_bias=True, dtype=dt,
-                        name=f"feat_conv{i}")(f)
+                        precision=p_head, name=f"feat_conv{i}")(f)
             f = nn.BatchNorm(use_running_average=not train, dtype=dt,
                              momentum=mom, name=f"feat_bn{i}")(f)
             f = nn.relu(f)
             raw = nn.Conv(s.num_classes * u * u, (1, 1), use_bias=True,
-                          dtype=jnp.float32, name=f"score{i}")(
+                          dtype=jnp.float32, precision=p_score,
+                          name=f"score{i}")(
                 f.astype(jnp.float32)
             )
             if u > 1:
@@ -252,8 +301,9 @@ class HourglassNet(nn.Module):
                 y = (
                     y
                     + nn.Conv(s.features, (1, 1), use_bias=True, dtype=dt,
-                              name=f"remap_feat{i}")(f)
+                              precision=p_trunk, name=f"remap_feat{i}")(f)
                     + nn.Conv(s.features, (1, 1), use_bias=True, dtype=dt,
+                              precision=p_trunk,
                               name=f"remap_score{i}")(raw.astype(dt))
                 )
         return jnp.stack(outputs)
