@@ -65,6 +65,13 @@ class HourglassSpec:
     # linear predictor, so argmax-cell precision is learned, not
     # interpolated.  1 = classic head (heatmaps at trunk resolution).
     head_upsample: int = 1
+    # score conv spatial extent (k x k, SAME zero padding).  1 = classic
+    # per-cell linear read-out.  3 widens each score read-out to the 3x3
+    # feature neighborhood: 9x the per-joint parameters at negligible
+    # FLOP cost (the score conv is <1% of the forward), which gives the
+    # TPU score-head calibration (scripts/calibrate_score_head.py)
+    # enough capacity to interpolate the golden confidences exactly.
+    score_ksize: int = 1
     # (h, w) the weights were trained at.  Convolutions are shape-
     # polymorphic but golden parity only holds at the training resolution,
     # so checkpoints carry it and consumers treat it as the source of
@@ -83,8 +90,10 @@ class HourglassSpec:
     #   "head"   - the final stack's head (feat_res onward)
     #   "stack"  - the final hourglass onward
     #   "all"    - every conv
-    # This is a deployment policy, not a checkpoint property — it is not
-    # serialized by save_weights.
+    # Serialized by save_weights only when set: a score-head-calibrated
+    # checkpoint (scripts/calibrate_score_head.py) is only valid under
+    # the pinning policy it was calibrated for, so the artifact carries
+    # its own deployment policy.
     hp_scope: Optional[str] = None
     hp_precision: str = "highest"
 
@@ -277,9 +286,10 @@ class HourglassNet(nn.Module):
             f = nn.BatchNorm(use_running_average=not train, dtype=dt,
                              momentum=mom, name=f"feat_bn{i}")(f)
             f = nn.relu(f)
-            raw = nn.Conv(s.num_classes * u * u, (1, 1), use_bias=True,
-                          dtype=jnp.float32, precision=p_score,
-                          name=f"score{i}")(
+            ks = s.score_ksize
+            raw = nn.Conv(s.num_classes * u * u, (ks, ks), use_bias=True,
+                          padding="SAME", dtype=jnp.float32,
+                          precision=p_score, name=f"score{i}")(
                 f.astype(jnp.float32)
             )
             if u > 1:
@@ -339,6 +349,11 @@ def save_weights(path: str, variables, spec: HourglassSpec) -> None:
     }
     if spec.input_shape is not None:
         meta["__spec__/input_shape"] = np.asarray(spec.input_shape, np.int64)
+    if spec.hp_scope is not None:
+        meta["__spec__/hp_scope"] = spec.hp_scope
+        meta["__spec__/hp_precision"] = spec.hp_precision
+    if spec.score_ksize != 1:
+        meta["__spec__/score_ksize"] = spec.score_ksize
     np.savez(path, **arrays, **{k: np.asarray(v) for k, v in meta.items()})
 
 
@@ -357,7 +372,7 @@ def load_weights(path: str):
                 spec_kwargs[field] = tuple(int(v) for v in data[k])
                 continue
             value = data[k].item()
-            if field == "stem":
+            if field in ("stem", "hp_scope", "hp_precision"):
                 spec_kwargs[field] = str(value)
             elif field == "bn_momentum":
                 spec_kwargs[field] = float(value)

@@ -64,6 +64,45 @@ class TestHourglass:
         )
         assert out.dtype == jnp.float32  # head stays f32
 
+    def test_score_ksize_embed_is_equivalent(self, tmp_path):
+        """1x1 score kernels embedded as 3x3 center taps are numerically
+        equivalent (zero taps; residual ~1e-5 differences come only from
+        the conv algorithm's reassociation, e.g. Winograd-style lowering),
+        and the deployment-policy spec fields round-trip through
+        save/load."""
+        import dataclasses
+        import sys
+
+        sys.path.insert(
+            0,
+            __file__.rsplit("/tests/", 1)[0] + "/scripts",
+        )
+        from calibrate_score_head import embed_score_3x3
+
+        variables = init_params(TINY, (32, 64), jax.random.PRNGKey(7))
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(2, 32, 64, 3)), jnp.float32
+        )
+        out1 = HourglassNet(TINY).apply(variables, x, train=False)
+        emb_vars, emb_spec = embed_score_3x3(variables, TINY)
+        assert emb_spec.score_ksize == 3
+        out2 = HourglassNet(emb_spec).apply(emb_vars, x, train=False)
+        np.testing.assert_allclose(
+            np.asarray(out1), np.asarray(out2), atol=1e-4)
+
+        spec = dataclasses.replace(
+            emb_spec, hp_scope="score", hp_precision="highest"
+        )
+        path = str(tmp_path / "cal.npz")
+        save_weights(path, emb_vars, spec)
+        loaded, loaded_spec = load_weights(path)
+        assert loaded_spec.score_ksize == 3
+        assert loaded_spec.hp_scope == "score"
+        assert loaded_spec.hp_precision == "highest"
+        out3 = HourglassNet(loaded_spec).apply(loaded, x, train=False)
+        np.testing.assert_allclose(
+            np.asarray(out1), np.asarray(out3), atol=1e-4)
+
     def test_save_load_round_trip(self, tmp_path):
         variables = init_params(TINY, (32, 64), jax.random.PRNGKey(2))
         path = str(tmp_path / "w.npz")
