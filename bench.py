@@ -298,6 +298,24 @@ def main():
     # Candidate ladder, fastest first.  T per config: f32 activations at
     # T=128 exceed the chip's HBM, bf16 fits (measured round 1).
     candidates = []
+    p16_tuned = os.path.join(ROOT, "weights", "hourglass_fly_p16_tpu.npz")
+    if os.path.exists(p16_tuned):
+        # stride-8 patch16 student (~8x less trunk compute than parity)
+        # with its subpixel score head calibrated against the golden
+        # cells AND confidences through the deployed bf16 forward
+        # (scripts/calibrate_score_head.py golden-cell targets): the
+        # calibration repairs the student's wrong argmax cells into the
+        # points contract, not just the confidence band.
+        p16_vars, p16_spec = load_weights(p16_tuned)
+        p16_spec = HourglassSpec(
+            **{**p16_spec.__dict__, "compute_dtype": jnp.bfloat16}
+        )
+        candidates.append((
+            "p16 student bf16 (score-head calibrated)",
+            (p16_spec, p16_vars,
+             tuple(p16_spec.input_shape or (256, 512)), None),
+            128,
+        ))
     fast_path = os.environ.get("DF3D_BENCH_STUDENT", FAST64)
     if os.path.exists(fast_path) and not os.environ.get(
         "DF3D_BENCH_SKIP_FAST"
