@@ -267,6 +267,59 @@ def main():
             "parity_ratio": max(pts_err / 0.02, conf_err / 0.002),
         }
 
+    keep_metric = "parity_ratio"
+    if args.augment_envelope:
+        # Envelope probes wired into keep-best: the composite score
+        # hard-gates on EXACT clean parity (pts 0.0, conf in band), then
+        # minimizes the probes' worst points ratio.  Without this the
+        # clean-only keep-best can never save an envelope improvement —
+        # the resumed teacher already sits at the clean floor, so every
+        # eval would look "no better" and the fine-tune would be a no-op.
+        # Probes are the VERDICT r3 bar: +-4 px shift (points bound grows
+        # by the true keypoint motion dx/960, as measure_robustness.py
+        # bounds it) and +-5% gain.
+        probe_sets = []
+        for dx in (-4, 4):
+            probe_sets.append(
+                (f"shift{dx:+d}", np.roll(raw, dx, axis=2),
+                 0.02 + abs(dx) / 960.0)
+            )
+        for gain in (0.95, 1.05):
+            g = np.clip(raw.astype(np.float32) * gain, 0, 255).astype(
+                np.uint8
+            )
+            probe_sets.append((f"gain{gain}", g, 0.02))
+        base_eval = eval_fn
+
+        def eval_fn(variables):
+            rec = base_eval(variables)
+            env_pts = env_conf = 0.0
+            for _name, praw, bound in probe_sets:
+                pts, conf = infer_batch(
+                    variables, jnp.asarray(praw), jnp.asarray(flips),
+                    spec, INPUT_SHAPE,
+                )
+                pts = np.asarray(pts).reshape(NUM_CAMERAS, T, 19, 2)
+                conf = np.asarray(conf).reshape(NUM_CAMERAS, T, 19, 1)
+                p38 = decode_mod.postprocess_points2d(pts, order)
+                env_pts = max(
+                    env_pts, float(np.abs(p38 - golden_p2).max()) / bound
+                )
+                env_conf = max(
+                    env_conf, float(np.abs(conf - golden_conf).max())
+                )
+            clean_exact = (
+                rec["pts_maxerr"] == 0.0 and rec["conf_maxerr"] <= 0.002
+            )
+            rec["env_pts_ratio"] = round(env_pts, 4)
+            rec["env_conf"] = round(env_conf, 4)
+            rec["hardened_score"] = env_pts + (
+                0.0 if clean_exact else 1000.0 + rec["parity_ratio"]
+            )
+            return rec
+
+        keep_metric = "hardened_score"
+
     if args.distill_teacher:
         from deepfly3d_tpu.models.hourglass import HourglassNet
         from deepfly3d_tpu.models.hourglass import load_weights as _lw
@@ -355,7 +408,7 @@ def main():
     variables, history = train_mod.train_overfit(
         images, targets, peak_cells, peaks, spec, cfg,
         eval_fn=eval_fn, eval_every=500, init_variables=init_variables,
-        keep_best="parity_ratio" if args.freeze_bn else None,
+        keep_best=keep_metric if args.freeze_bn else None,
     )
     print(f"training took {time.time()-t0:.1f}s", flush=True)
 

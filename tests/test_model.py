@@ -235,3 +235,65 @@ class TestPatch16SubpixelHead:
                             assert score[0, h * u + dy, w * u + dx, k] == (
                                 raw[0, h, w, (dy * u + dx) * K + k]
                             )
+
+    def test_shipped_p16_checkpoint_policy_and_forward(self):
+        """The calibrated p16 checkpoint must carry its full deployment
+        policy in __spec__ (the bench reconstructs the exact deployed
+        program from it; a missing field silently changes numerics) and
+        produce decode-grid heatmaps at input/4 via the subpixel head."""
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "weights", "hourglass_fly_p16_tpu.npz",
+        )
+        if not os.path.exists(path):
+            import pytest
+
+            pytest.skip("calibrated p16 checkpoint not built")
+        variables, spec = load_weights(path)
+        assert spec.stem == "patch16"
+        assert spec.head_upsample == 2
+        assert spec.score_ksize == 3
+        assert spec.hp_scope == "score"
+        assert spec.input_shape == (256, 512)
+        x = jnp.zeros((1, 256, 512, 3), jnp.float32)
+        out = HourglassNet(spec).apply(variables, x, train=False)
+        assert out.shape == (spec.num_stacks, 1, 64, 128, 19)
+
+
+class TestCalibrationTargets:
+    """Golden-cell inversion used by scripts/calibrate_score_head.py."""
+
+    def test_golden_cells_structure(self, golden_2d):
+        """Known-cell coverage must mirror the 19->38 assembly rules
+        (reference core.py:189-199): middle camera fully free, the
+        position-2/4 cameras free exactly on the 4 zeroed stripe/antenna
+        channels, everything else pinned to an exact heatmap cell."""
+        import sys
+
+        sys.path.insert(
+            0, __file__.rsplit("/tests/", 1)[0] + "/scripts"
+        )
+        from calibrate_score_head import golden_cells, region_cells
+
+        cells = golden_cells(golden_2d, 64, 128)
+        order = list(golden_2d["camera_ordering"])
+        assert cells.shape == (105, 19)
+        for pos, cam in enumerate(order):
+            block = cells[cam * 15:(cam + 1) * 15]
+            if pos == 3:
+                assert (block == -1).all()
+            elif pos in (2, 4):
+                assert (block[:, :15] >= 0).all()
+                assert (block[:, 15:] == -1).all()
+            else:
+                assert (block >= 0).all()
+        # regions stay inside the contract: every region cell decodes
+        # within 0.02 of the golden cell on both coordinates
+        for cell in (0, 5000, 64 * 128 - 1):
+            reg = region_cells(cell, 64, 128)
+            r0, c0 = cell // 128, cell % 128
+            for rc in reg:
+                assert abs(rc // 128 - r0) / 64.0 < 0.02
+                assert abs(rc % 128 - c0) / 128.0 < 0.02
