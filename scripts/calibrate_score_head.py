@@ -454,13 +454,21 @@ def main():
     ap.add_argument("--alpha", type=float, default=0.03,
                     help="parameter-norm weight bounding |d| (deploy "
                          "noise scales with |d|)")
+    ap.add_argument("--hp-scope", default="score", choices=["score", "none"],
+                    help="matmul-precision pin for the deployed score "
+                         "convs. 'score' (default) runs them at full f32 "
+                         "precision; 'none' leaves default precision — "
+                         "the fit absorbs the (deterministic) extra "
+                         "rounding, buying back the ~9x-FLOP 3x3 head's "
+                         "precision cost")
     args = ap.parse_args()
 
     variables, spec0 = load_weights(args.ckpt_in)
     dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    spec0 = HourglassSpec(**{**spec0.__dict__, "compute_dtype": dt,
-                             "hp_scope": "score",
-                             "hp_precision": "highest"})
+    hp = ({"hp_scope": "score", "hp_precision": "highest"}
+          if args.hp_scope == "score" else
+          {"hp_scope": None, "hp_precision": "highest"})
+    spec0 = HourglassSpec(**{**spec0.__dict__, "compute_dtype": dt, **hp})
     variables, spec = embed_score_3x3(variables, spec0)
     input_shape = tuple(spec.input_shape or (256, 512))
     S = spec.num_stacks
@@ -537,8 +545,9 @@ def main():
 
     (conf_err, _), new_vars = best
     save_weights(args.ckpt_out, new_vars, spec)
-    print(f"saved: {args.ckpt_out} (dtype={args.dtype}, hp_scope=score, "
-          f"score_ksize=3, deployed conf_err={conf_err:.5f})", flush=True)
+    print(f"saved: {args.ckpt_out} (dtype={args.dtype}, "
+          f"hp_scope={spec.hp_scope}, score_ksize=3, "
+          f"deployed conf_err={conf_err:.5f})", flush=True)
 
 
 if __name__ == "__main__":

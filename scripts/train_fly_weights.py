@@ -190,7 +190,10 @@ def main():
         pool_imgs = [images] * 4               # clean x4
         pool_coords = [coords] * 4
         variants = []
-        for dx in (-8, -4, 4, 8):
+        # the pool matches the VERDICT bar (+-4 px, +-5% gain), not the
+        # widest sweep: +-8 px / +-10% variants pull the gradient much
+        # further from the parity solution for transforms outside the bar
+        for dx in (-4, 4):
             shifted = np.roll(raw, dx, axis=2)
             # right-side cameras are h-flipped before the network, so a
             # +dx raw shift moves their net-frame column by -dx/960
@@ -198,22 +201,51 @@ def main():
             c2 = coords.copy()
             c2[..., 1] = c2[..., 1] + dcol[:, None]
             variants.append((shifted, c2))
-        for gain in (0.9, 0.95, 1.05, 1.1):
+        for gain in (0.95, 1.05):
             g = np.clip(raw.astype(np.float32) * gain, 0, 255).astype(
                 np.uint8
             )
             variants.append((g, coords))
-        for q in (80, 70):
-            variants.append((reencode(raw, q), coords))
+        variants.append((reencode(raw, 80), coords))
+
+        # Position-only supervision on augmented samples: their peak
+        # VALUE targets are the seed's OWN predicted confidences under
+        # that variant, so value-invariance contributes no gradient.
+        # Measured (phases at 3e-4 and 1e-4, round 3): demanding clean
+        # golden confidences under gain/shift drags clean parity from
+        # ratio 1.25 to ~10 and it never recovers — conf invariance and
+        # clean parity compete for the same capacity.  The envelope bar
+        # is POINTS parity; argmax position is still fully supervised
+        # via the (coordinate-corrected) golden gaussian centers.
+        seed_vars = None
+        if args.resume and os.path.exists(args.out):
+            from deepfly3d_tpu.models.hourglass import load_weights as _lw
+            import dataclasses as _dc
+
+            seed_vars, seed_spec = _lw(args.out)
+            if seed_spec.input_shape is None:
+                seed_spec = _dc.replace(seed_spec, input_shape=INPUT_SHAPE)
+
+        peaks_list = [peaks] * 4
         for raw_v, c_v in variants:
             pool_imgs.append(np.asarray(
                 preprocess(jnp.asarray(raw_v), jnp.asarray(flips))
             ))
             pool_coords.append(c_v)
+            if seed_vars is not None:
+                _, conf_v = infer_batch(
+                    seed_vars, jnp.asarray(raw_v), jnp.asarray(flips),
+                    seed_spec, INPUT_SHAPE,
+                )
+                peaks_list.append(
+                    np.asarray(conf_v, np.float32).reshape(peaks.shape)
+                )
+            else:
+                peaks_list.append(peaks)
         n_rep = len(pool_imgs)
         images = np.concatenate(pool_imgs)
         all_coords = np.concatenate(pool_coords)
-        peaks_pool = np.tile(peaks, (n_rep, 1))
+        peaks_pool = np.concatenate(peaks_list)
         known_pool = np.tile(known, (n_rep, 1))
         targets, peak_cells = train_mod.render_target_heatmaps(
             all_coords, peaks_pool, known_pool, HEATMAP_SHAPE,
@@ -221,7 +253,8 @@ def main():
         )
         peaks = peaks_pool
         print(f"augment-envelope pool: {images.shape[0]} images "
-              f"({n_rep - 4} augmented variants + 4x clean)", flush=True)
+              f"({n_rep - 4} augmented variants + 4x clean; augmented "
+              f"peak targets = seed's own confidences)", flush=True)
 
     # ---------------- eval: full pipeline vs golden
     init_variables = None
@@ -290,6 +323,7 @@ def main():
             )
             probe_sets.append((f"gain{gain}", g, 0.02))
         base_eval = eval_fn
+        gate = {}
 
         def eval_fn(variables):
             rec = base_eval(variables)
@@ -308,8 +342,20 @@ def main():
                 env_conf = max(
                     env_conf, float(np.abs(conf - golden_conf).max())
                 )
+            # Clean gate is NO-REGRESSION-VS-SEED, not the absolute
+            # contract: this eval config (f32 default TPU matmul
+            # precision) measures even the untouched parity teacher at
+            # conf ~0.0025 (precision ladder, ARCHITECTURE round 3), so
+            # an absolute conf<=0.002 gate is unachievable here and
+            # keep-best would degenerate (measured: phase H1 no-op'd).
+            # The deployable contract is restored afterwards by TPU
+            # score-head calibration, which needs only exact clean
+            # argmaxes + seed-level conf to work from.
+            if "conf_ref" not in gate:      # first eval = resumed seed
+                gate["conf_ref"] = max(0.002, rec["conf_maxerr"] + 1e-4)
             clean_exact = (
-                rec["pts_maxerr"] == 0.0 and rec["conf_maxerr"] <= 0.002
+                rec["pts_maxerr"] == 0.0
+                and rec["conf_maxerr"] <= gate["conf_ref"]
             )
             rec["env_pts_ratio"] = round(env_pts, 4)
             rec["env_conf"] = round(env_conf, 4)
