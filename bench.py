@@ -37,6 +37,7 @@ from deepfly3d_tpu.models.hourglass import (
     HourglassSpec,
     load_weights,
 )
+from deepfly3d_tpu.models import cascade as cascade_ops
 from deepfly3d_tpu.ops import geometry
 
 NUM_CAMERAS = 7
@@ -112,27 +113,15 @@ def build_pipeline(spec, variables, calib, camera_ordering, input_shape,
         x = image_ops.preprocess_frames(x, flip, input_shape, jnp.float32)
         with prec_ctx():
             heatmaps = net(vars_, x)
-        # decode: integer argmax, normalized (row, col) + unnormalized max
-        N, Hh, Ww, K = heatmaps.shape
-        flat = heatmaps.astype(jnp.float32).transpose(0, 3, 1, 2)
-        flat = flat.reshape(N, K, Hh * Ww)
-        idx = jnp.argmax(flat, axis=-1)
-        conf = jnp.max(flat, axis=-1, keepdims=True)
-        row = (idx // Ww).astype(jnp.float32) / Hh
-        col = (idx % Ww).astype(jnp.float32) / Ww
-        pts19 = jnp.stack([row, col], -1).reshape(T, NUM_CAMERAS, K, 2)
-        pts19 = pts19.transpose(1, 0, 2, 3)              # (C, T, 19, 2)
+        # decode + 19->38 assembly: the SAME functions the cascade
+        # pipeline uses (models/cascade.py) — the flip-artifact assembly
+        # semantics are contract-critical and must not fork across the
+        # bench, cascade, and host (decode.postprocess_points2d) paths
+        pts, conf = cascade_ops._decode(heatmaps)
+        K = pts.shape[1]
+        pts19 = pts.reshape(T, NUM_CAMERAS, K, 2).transpose(1, 0, 2, 3)
         conf = conf.reshape(T, NUM_CAMERAS, K, 1).transpose(1, 0, 2, 3)
-
-        # 19->38 assembly on device (reference core.py:189-199 semantics,
-        # incl. the col = 1 - 0 = 1.0 flip artifact)
-        p38 = jnp.zeros((NUM_CAMERAS, T, 2 * K, 2), jnp.float32)
-        p38 = p38.at[left_cams, :, :K].set(pts19[left_cams])
-        p38 = p38.at[right_cams, :, K:].set(pts19[right_cams])
-        p38 = p38.at[order[2], :, 15:].set(0.0)
-        p38 = p38.at[order[4], :, K + 15 :].set(0.0)
-        flipped_cols = 1.0 - p38[right_cams, ..., 1]
-        p38 = p38.at[right_cams, ..., 1].set(flipped_cols)
+        p38 = cascade_ops._assemble38(pts19, order, left_cams, right_cams, K)
 
         # masked DLT triangulation
         pts3d = geometry.triangulate(

@@ -297,22 +297,26 @@ if HAS_PYQT:
 
         # ---------------------------------------------------- interactions
 
+        def _sync_mode_buttons(self):
+            self.uncheck_mode_buttons()
+            {
+                "image": self.button_image_mode,
+                "pose": self.button_pose_mode,
+                "correction": self.button_correction_mode,
+            }[self.ctl.mode].setChecked(True)
+            self.combo_joint_id.setEnabled(self.ctl.joint_filter_enabled)
+
         def keyPressEvent(self, event):
-            key = event.key()
-            if key == Qt.Key_A:
-                self.onclick_prev_image()
-            elif key == Qt.Key_D:
-                self.onclick_next_image()
-            elif key == Qt.Key_I:
-                self.onclick_image_mode()
-            elif key == Qt.Key_X:
-                self.onclick_pose_mode()
-            elif key == Qt.Key_C:
-                self.onclick_correction_mode()
-            elif key == Qt.Key_T:
-                self.onclick_save()
-            # the full key map lives in GuiController.handle_key; the Qt
-            # branches above additionally sync the checked-button state
+            # keycode translation only — the key->action map itself lives
+            # solely in GuiController.handle_key, so headless tests and
+            # the running GUI can never drift apart
+            letter = {
+                Qt.Key_A: "A", Qt.Key_D: "D", Qt.Key_I: "I",
+                Qt.Key_X: "X", Qt.Key_C: "C", Qt.Key_T: "T",
+            }.get(event.key())
+            if letter and self.ctl.handle_key(letter):
+                self._sync_mode_buttons()
+                self.refresh()
 
         def eventFilter(self, source, event):
             """Click-drag joint correction (reference gui.py:437-463);

@@ -46,7 +46,10 @@ class GuiController:
         self.display_img(min(self.core.max_img_id, self.img_id + 1))
 
     def display_img(self, img_id: int):
-        assert 0 <= img_id <= self.core.max_img_id
+        # explicit raise, not assert: goto() relies on this rejecting
+        # out-of-range ids, and asserts vanish under ``python -O``
+        if not 0 <= img_id <= self.core.max_img_id:
+            raise ValueError(f"image id {img_id} out of range")
         self.img_id = int(img_id)
 
     def goto(self, text: str) -> Tuple[bool, Optional[str]]:
@@ -54,7 +57,7 @@ class GuiController:
         try:
             self.display_img(int(text))
             return True, None
-        except (ValueError, AssertionError):
+        except ValueError:
             return False, "Textbox content should be an image id"
 
     def next_error(self) -> Tuple[bool, Optional[str]]:

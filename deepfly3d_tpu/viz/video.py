@@ -69,16 +69,29 @@ def _render_3d_pooled(points3d, skeleton, num_images, workers):
     pipeline (window of pending jobs, so hour-long recordings never
     materialize every rendered frame in RAM)."""
     import concurrent.futures as futures
+    import itertools
+    from collections import deque
 
-    jobs = (
+    jobs = iter(
         (points3d[img_id], skeleton, c)
         for img_id in range(num_images)
         for c in (4, 5, 6)
     )
     with futures.ProcessPoolExecutor(max_workers=workers) as pool:
-        results = pool.map(_mpl_render_job, jobs, chunksize=3)
+        # manual windowed submission: Executor.map would submit every job
+        # eagerly and buffer all completed frames ahead of the consumer,
+        # which is exactly the unbounded-memory failure the window avoids
+        window = max(4 * workers, 8) * 3
+        pending = deque(
+            pool.submit(_mpl_render_job, args)
+            for args in itertools.islice(jobs, window)
+        )
         row = []
-        for img in results:
+        while pending:
+            img = pending.popleft().result()
+            nxt = next(jobs, None)
+            if nxt is not None:
+                pending.append(pool.submit(_mpl_render_job, nxt))
             row.append(img)
             if len(row) == 3:
                 yield row

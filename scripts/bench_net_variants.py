@@ -107,7 +107,6 @@ def main():
             continue
         kw = dict(kw)
         input_shape = kw.pop("input", (256, 512))
-        bench.INPUT_SHAPE = input_shape  # build_pipeline reads the global
         spec = HourglassSpec(num_classes=19, compute_dtype=jnp.bfloat16, **kw)
         model = HourglassNet(spec)
         variables = model.init(
@@ -116,7 +115,7 @@ def main():
             train=False,
         )
         pipeline = bench.build_pipeline(
-            spec, variables, calib, np.arange(7), jnp.float32
+            spec, variables, calib, np.arange(7), input_shape
         )
         out = pipeline(frames)
         jax.block_until_ready(out)          # compile + warmup

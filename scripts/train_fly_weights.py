@@ -97,12 +97,14 @@ def main():
                          "wrong-argmax cells")
     ap.add_argument("--augment-envelope", action="store_true",
                     help="widen the robustness envelope: the training pool "
-                         "gains shifted (+-4/8 px, coordinate-corrected "
-                         "targets), gain-scaled (0.9-1.1) and JPEG-"
-                         "re-encoded (q70/80) variants of every image — "
-                         "the exact transforms scripts/measure_robustness "
-                         "sweeps — while keep-best stays gated on CLEAN "
-                         "golden parity (clean copies are oversampled 4x)")
+                         "gains shifted (+-4 px, coordinate-corrected "
+                         "targets), gain-scaled (0.95/1.05) and JPEG-"
+                         "re-encoded (q80) variants of every image — the "
+                         "envelope bar's transforms — with peak-value "
+                         "targets taken from the seed's own predictions "
+                         "(position-only supervision); keep-best gates on "
+                         "CLEAN parity at the seed's own level (clean "
+                         "copies are oversampled 4x)")
     ap.add_argument("--self-distill", action="store_true",
                     help="with --resume: label surgery — heatmap targets "
                          "become the net's OWN outputs except the still-"
@@ -164,6 +166,7 @@ def main():
         coords, peaks, known, HEATMAP_SHAPE, sigma=args.sigma
     )
 
+    seed_vars = seed_spec = None     # resumed checkpoint, loaded once
     if args.augment_envelope:
         assert not (args.distill_teacher or args.self_distill), (
             "--augment-envelope is not combinable with distillation flags"
@@ -217,7 +220,6 @@ def main():
         # clean parity compete for the same capacity.  The envelope bar
         # is POINTS parity; argmax position is still fully supervised
         # via the (coordinate-corrected) golden gaussian centers.
-        seed_vars = None
         if args.resume and os.path.exists(args.out):
             from deepfly3d_tpu.models.hourglass import load_weights as _lw
             import dataclasses as _dc
@@ -259,13 +261,16 @@ def main():
     # ---------------- eval: full pipeline vs golden
     init_variables = None
     if args.resume and os.path.exists(args.out):
-        from deepfly3d_tpu.models.hourglass import load_weights
-
-        init_variables, spec = load_weights(args.out)
         import dataclasses as _dc
 
-        if spec.input_shape is None:
-            spec = _dc.replace(spec, input_shape=INPUT_SHAPE)
+        if seed_vars is not None:      # augment block already loaded it
+            init_variables, spec = seed_vars, seed_spec
+        else:
+            from deepfly3d_tpu.models.hourglass import load_weights
+
+            init_variables, spec = load_weights(args.out)
+            if spec.input_shape is None:
+                spec = _dc.replace(spec, input_shape=INPUT_SHAPE)
         spec = _dc.replace(spec, compute_dtype=jnp.dtype(args.dtype).type)
         print(f"resuming from {args.out} (features={spec.features}, "
               f"dtype={args.dtype})", flush=True)
