@@ -112,3 +112,43 @@ class TestPoseDB:
         db.remove_corrections(0, 0)
         assert db.read(0, 0) is None
         assert db.read_modified_joints(0, 0) == []
+
+
+class TestStageTimer:
+    """utils/profiling.StageTimer — the CLI's -v stage metrics source."""
+
+    def test_accumulates_and_summarizes(self):
+        import json
+        from deepfly3d_tpu.utils import StageTimer
+
+        t = StageTimer()
+        for _ in range(3):
+            with t.stage("decode"):
+                pass
+        with t.stage("triangulate"):
+            pass
+        m = t.metrics(frames=15)
+        assert m["decode"]["calls"] == 3
+        assert m["triangulate"]["calls"] == 1
+        assert m["_summary"]["frames"] == 15
+        assert m["_summary"]["total_seconds"] >= 0.0
+        json.loads(t.report(frames=15))       # report is valid JSON
+
+    def test_exception_inside_stage_still_recorded(self):
+        from deepfly3d_tpu.utils import StageTimer
+
+        t = StageTimer()
+        try:
+            with t.stage("boom"):
+                raise RuntimeError("x")
+        except RuntimeError:
+            pass
+        assert t.counts["boom"] == 1
+
+    def test_no_frames_no_summary(self):
+        from deepfly3d_tpu.utils import StageTimer
+
+        t = StageTimer()
+        with t.stage("s"):
+            pass
+        assert "_summary" not in t.metrics()
