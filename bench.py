@@ -104,13 +104,16 @@ def build_pipeline(spec, variables, calib, camera_ordering, input_shape,
         else contextlib.nullcontext
     )
 
+    pp_dtype = jnp.dtype(spec.preprocess_dtype).type
+
     @jax.jit
     def pipeline(vars_, frames_u8):
         T = frames_u8.shape[0]
         x = frames_u8.reshape(T * NUM_CAMERAS, IMAGE_H, IMAGE_W, 3)
         flip = jnp.tile(flip_d, T)
-        # cast/normalize/resize as two MXU matmuls + low-res flip (ops/image.py)
-        x = image_ops.preprocess_frames(x, flip, input_shape, jnp.float32)
+        # cast/normalize/resize as two MXU matmuls + low-res flip
+        # (ops/image.py); dtype is the checkpoint's deployment policy
+        x = image_ops.preprocess_frames(x, flip, input_shape, pp_dtype)
         with prec_ctx():
             heatmaps = net(vars_, x)
         # decode + 19->38 assembly: the SAME functions the cascade

@@ -113,8 +113,12 @@ def build_cascade_pipeline(
         x_u8 = frames_u8.reshape(N, H_img, W_img, 3)
         flip = jnp.tile(flip_d, T)
 
-        # ---- 1. student pass on every image
-        xs = image_ops.preprocess_frames(x_u8, flip, s_input, jnp.float32)
+        # ---- 1. student pass on every image (preprocess dtype follows
+        # each net's own deployment policy, HourglassSpec.preprocess_dtype)
+        xs = image_ops.preprocess_frames(
+            x_u8, flip, s_input,
+            jnp.dtype(student_spec.preprocess_dtype).type,
+        )
         hm_s = student.apply(student_vars, xs, train=False)[-1]
         pts_s, conf_s = _decode(hm_s)                    # (N, 19, 2/1)
         K = pts_s.shape[1]
@@ -143,7 +147,8 @@ def build_cascade_pipeline(
         _, repair_idx = jax.lax.top_k(score_flat, n_repair)
         xr_u8 = x_u8[repair_idx]
         xr = image_ops.preprocess_frames(
-            xr_u8, flip[repair_idx], t_input, jnp.float32
+            xr_u8, flip[repair_idx], t_input,
+            jnp.dtype(teacher_spec.preprocess_dtype).type,
         )
         hm_t = teacher.apply(teacher_vars, xr, train=False)[-1]
         pts_t, _ = _decode(hm_t)                        # (R, 19, 2)

@@ -96,6 +96,17 @@ class HourglassSpec:
     # its own deployment policy.
     hp_scope: Optional[str] = None
     hp_precision: str = "highest"
+    # Deployment-policy dtype for the uint8->resized-frame preprocess
+    # (ops/image.preprocess_frames).  The resize is two dense matmuls
+    # (~1.5 GFLOP/image at 480x960->256x512) feeding a trunk that casts
+    # to bf16 anyway — at the calibrated-p16 throughput the f32
+    # preprocess is the LARGEST FLOP consumer in the whole pipeline
+    # (~57% by XLA cost analysis).  "bfloat16" halves it; the extra
+    # rounding is deterministic, so a score-head calibration performed
+    # under this policy absorbs it (the checkpoint carries the field,
+    # like hp_scope, because the calibration is only valid under the
+    # preprocess it was fit through).
+    preprocess_dtype: str = "float32"
 
 
 def _resolve_precision(name: str):
@@ -352,6 +363,8 @@ def save_weights(path: str, variables, spec: HourglassSpec) -> None:
     if spec.hp_scope is not None:
         meta["__spec__/hp_scope"] = spec.hp_scope
         meta["__spec__/hp_precision"] = spec.hp_precision
+    if spec.preprocess_dtype != "float32":
+        meta["__spec__/preprocess_dtype"] = spec.preprocess_dtype
     if spec.score_ksize != 1:
         meta["__spec__/score_ksize"] = spec.score_ksize
     np.savez(path, **arrays, **{k: np.asarray(v) for k, v in meta.items()})
@@ -372,7 +385,8 @@ def load_weights(path: str):
                 spec_kwargs[field] = tuple(int(v) for v in data[k])
                 continue
             value = data[k].item()
-            if field in ("stem", "hp_scope", "hp_precision"):
+            if field in ("stem", "hp_scope", "hp_precision",
+                         "preprocess_dtype"):
                 spec_kwargs[field] = str(value)
             elif field == "bn_momentum":
                 spec_kwargs[field] = float(value)

@@ -57,8 +57,12 @@ def infer_batch(
     from deepfly3d_tpu.ops import image as image_ops
 
     # cast/normalize/flip/resize as two MXU matmuls (exact vs the naive
-    # cast->flip->jax.image.resize chain; ops/image.py, tests/test_image_ops)
-    x = image_ops.preprocess_frames(images_u8, flip, tuple(input_shape))
+    # cast->flip->jax.image.resize chain; ops/image.py, tests/test_image_ops);
+    # dtype follows the checkpoint's deployment policy (HourglassSpec)
+    x = image_ops.preprocess_frames(
+        images_u8, flip, tuple(input_shape),
+        jnp.dtype(spec.preprocess_dtype).type,
+    )
     if fused:
         from deepfly3d_tpu.models import fused_inference
 

@@ -121,7 +121,9 @@ def extract_features(variables, spec, input_shape):
 
     @jax.jit
     def fn(imgs, flp):
-        x = image_ops.preprocess_frames(imgs, flp, input_shape, jnp.float32)
+        x = image_ops.preprocess_frames(
+            imgs, flp, input_shape, jnp.dtype(spec.preprocess_dtype).type
+        )
         out, state = model.apply(
             variables, x, train=False,
             capture_intermediates=lambda m, _: m.name == last_bn,
@@ -454,6 +456,13 @@ def main():
     ap.add_argument("--alpha", type=float, default=0.03,
                     help="parameter-norm weight bounding |d| (deploy "
                          "noise scales with |d|)")
+    ap.add_argument("--preprocess-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="deployment dtype for the two-matmul frame "
+                         "preprocess (~57%% of pipeline FLOPs at p16 "
+                         "speed when f32); the fit absorbs the extra "
+                         "deterministic rounding and the checkpoint "
+                         "carries the policy")
     ap.add_argument("--hp-scope", default="score", choices=["score", "none"],
                     help="matmul-precision pin for the deployed score "
                          "convs. 'score' (default) runs them at full f32 "
@@ -468,7 +477,9 @@ def main():
     hp = ({"hp_scope": "score", "hp_precision": "highest"}
           if args.hp_scope == "score" else
           {"hp_scope": None, "hp_precision": "highest"})
-    spec0 = HourglassSpec(**{**spec0.__dict__, "compute_dtype": dt, **hp})
+    spec0 = HourglassSpec(**{**spec0.__dict__, "compute_dtype": dt,
+                             "preprocess_dtype": args.preprocess_dtype,
+                             **hp})
     variables, spec = embed_score_3x3(variables, spec0)
     input_shape = tuple(spec.input_shape or (256, 512))
     S = spec.num_stacks
