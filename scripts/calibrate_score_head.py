@@ -56,7 +56,13 @@ import pickle
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ["DF3D_TPU_DISABLE_X64"] = "1"
+if __name__ == "__main__":
+    # Must be set before the deepfly3d_tpu import enables x64 (the pure
+    # f32/bf16 inference path needs no doubles).  Guarded: library
+    # importers (tests) must NOT inherit this into their process env —
+    # it leaks into CLI subprocesses and silently switches their bundle
+    # adjustment to f32 (observed: 0.057 points3d drift in-suite).
+    os.environ["DF3D_TPU_DISABLE_X64"] = "1"
 
 import jax
 import jax.numpy as jnp

@@ -45,24 +45,50 @@ def _load(path):
         return pickle.load(f)
 
 
-@pytest.fixture(scope="session")
+# Golden fixtures are FUNCTION-scoped on purpose: they return mutable
+# dicts of numpy arrays, and several consumers (Core resume, pictorial
+# correction, pyba-compat camera construction) touch nested values in
+# place.  Session scope let one test's in-place edit poison a later
+# test's expected values — observed as test_skip_estimation_resume_
+# subprocess failing at 0.057 (BA run against a polluted seed) in-suite
+# while passing standalone.  The pickle re-read costs ~ms per test.
+@pytest.fixture()
 def golden_2d():
     return _load(GOLDEN_DIR / "df3d_result_2d.pkl")
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def golden_3d():
     return _load(GOLDEN_DIR / "df3d_result_3d.pkl")
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def calib_prior():
     return _load(CALIB_PRIOR)
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def template_points3d():
     return np.asarray(_load(PROCRUSTES_TEMPLATE)["points3d"])
+
+
+# Module-scoped copies for expensive module fixtures (a full scipy BA,
+# a CameraNetwork build).  Each module gets a fresh load, so cross-
+# module pollution is impossible; sharing within one module is that
+# module's own responsibility.
+@pytest.fixture(scope="module")
+def golden_2d_module():
+    return _load(GOLDEN_DIR / "df3d_result_2d.pkl")
+
+
+@pytest.fixture(scope="module")
+def golden_3d_module():
+    return _load(GOLDEN_DIR / "df3d_result_3d.pkl")
+
+
+@pytest.fixture(scope="module")
+def calib_prior_module():
+    return _load(CALIB_PRIOR)
 
 
 @pytest.fixture()

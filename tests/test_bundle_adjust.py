@@ -16,13 +16,14 @@ IMAGE_SHAPE = (960, 480)
 
 
 @pytest.fixture(scope="module")
-def parity_result(golden_2d, calib_prior):
+def parity_result(golden_2d_module, calib_prior_module):
     calib_reordered = {
-        cidx: calib_prior[idx]
-        for idx, cidx in enumerate(golden_2d["camera_ordering"])
+        cidx: calib_prior_module[idx]
+        for idx, cidx in enumerate(golden_2d_module["camera_ordering"])
     }
     return bundle_adjust.bundle_adjust(
-        golden_2d["points2d"], calib_reordered, IMAGE_SHAPE, solver="parity"
+        golden_2d_module["points2d"], calib_reordered, IMAGE_SHAPE,
+        solver="parity",
     )
 
 

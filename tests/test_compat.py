@@ -7,9 +7,10 @@ from deepfly3d_tpu.compat import CameraNetwork, df3d_bones, df3d_colors
 
 
 @pytest.fixture(scope="module")
-def cam_net(golden_3d):
-    pts = golden_3d["points2d"] * [480, 960]  # reference scaling (core.py:247)
-    return CameraNetwork(pts, calib=golden_3d)
+def cam_net(golden_3d_module):
+    # reference scaling (core.py:247)
+    pts = golden_3d_module["points2d"] * [480, 960]
+    return CameraNetwork(pts, calib=golden_3d_module)
 
 
 def test_calib_harvested_from_result_dict(cam_net):
