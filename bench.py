@@ -10,9 +10,15 @@ The OFFICIAL (last) JSON line is the fastest configuration that passes the
 reference's full golden contract (points2d atol 0.02 AND confidence atol
 0.002, reference tests/test_df3d.py:167-179) *measured in this very run*
 by pushing the bundled golden recording through the same jitted pipeline
-and comparing against tests/data/reference_df3d/df3d_result_2d.pkl.
-Configurations that fail the contract are printed as informational lines
-with their measured errors — never as the headline.
+and comparing against tests/data/reference_df3d/df3d_result_2d.pkl —
+AND passes the held-out probes (load_probe_frames): inputs the score-head
+calibration never trained on (video-re-encoded frames — the reference's
+own CLI-test input, reference tests/test_df3d.py:330-364 — at the
+reference's points tolerance with a documented 3x confidence band, and
+jpeg-q90 recompression at points tolerance).  Without the probes the
+in-run check would be circular for calibrated checkpoints (ADVICE r3).
+Configurations that fail the contract or a probe are printed as
+informational lines with their measured errors — never as the headline.
 
 vs_baseline is against the north-star 5,000 frames/s/chip
 (/root/repo/BASELINE.json; the reference publishes no numbers of its own —
@@ -169,6 +175,95 @@ def verify_contract(pipeline, golden_frames, golden):
         np.abs(np.asarray(conf) - golden["heatmap_confidence"]).max()
     )
     return pts_err, conf_err, (pts_err <= 0.02 and conf_err <= 0.002)
+
+
+def load_probe_frames():
+    """Held-out probe inputs the score-head calibration never trained on.
+
+    The in-run golden check alone is circular for calibrated checkpoints:
+    scripts/calibrate_score_head.py fits the score head against the very
+    105 golden images the check uses (ADVICE r3).  The official headline
+    therefore must ALSO hold on perturbed versions of the recording that
+    were never part of any fit:
+
+    * ``reencode`` — the 7 bundled mp4s expanded back to JPEGs through the
+      repo's own expansion path, i.e. the input the reference's own CLI
+      test consumes (reference tests/test_df3d.py:330-364).  Gate:
+      pts<=0.02 (the reference's tolerance) and conf<=0.006 — 3x the
+      clean band.  The reference's downloaded sh8 weights hold 0.002
+      here; the repo's sample-recording-fit weights measure 0.0056
+      (uncalibrated parity checkpoint, CPU backend) because their clean
+      residual already eats 94% of the band, so the achievable honest
+      gate is drift containment: a calibration overfit to the clean
+      golden pixels shows up as a blowout past this band, not as a
+      fourth decimal.  Tighten to 0.002 when envelope hardening lands.
+    * ``jpeg_q90`` — cv2 re-encode of the golden JPEGs at quality 90;
+      gated on POINTS only (pts<=0.02: the argmax cells the calibration
+      repaired must survive recompression).  Confidence under q90 is
+      reported informationally — no reference contract covers it and the
+      honest uncalibrated parity checkpoint itself measures ~0.0029
+      (weights/hourglass_fly.npz.envelope.json).
+
+    Returns {name: (frames (15,7,H,W,3) u8, pts_tol, conf_tol_or_None)}.
+    """
+    import shutil
+    import tempfile
+
+    import cv2
+
+    from deepfly3d_tpu.io import discovery
+    from deepfly3d_tpu.models.inference import _read_images_threaded
+
+    probes = {}
+
+    tmp = tempfile.mkdtemp(prefix="df3d_probe_")
+    try:
+        for cam in range(NUM_CAMERAS):
+            shutil.copy(
+                os.path.join(ROOT, "tests", "data", "reference",
+                             f"camera_{cam}.mp4"),
+                tmp,
+            )
+        discovery.expand_videos(tmp)
+        paths = [
+            os.path.join(tmp, f"camera_{cam}_img_{t}.jpg")
+            for t in range(GOLDEN_T) for cam in range(NUM_CAMERAS)
+        ]
+        if all(os.path.exists(p) for p in paths):
+            frames = _read_images_threaded(paths).reshape(
+                GOLDEN_T, NUM_CAMERAS, IMAGE_H, IMAGE_W, 3
+            )
+            probes["reencode"] = (frames, 0.02, 0.006)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    golden_frames, _ = load_golden_frames()
+    q90 = np.stack([
+        cv2.imdecode(
+            cv2.imencode(".jpg", im[:, :, ::-1],
+                         [cv2.IMWRITE_JPEG_QUALITY, 90])[1],
+            cv2.IMREAD_COLOR,
+        )[:, :, ::-1]
+        for im in golden_frames.reshape(-1, IMAGE_H, IMAGE_W, 3)
+    ]).reshape(GOLDEN_T, NUM_CAMERAS, IMAGE_H, IMAGE_W, 3)
+    probes["jpeg_q90"] = (q90, 0.02, None)
+    return probes
+
+
+def verify_probes(pipeline, probes, golden):
+    """Run every held-out probe; return (probe_report, all_pass)."""
+    report = {}
+    all_pass = True
+    for name, (frames, pts_tol, conf_tol) in probes.items():
+        pts_err, conf_err, _ = verify_contract(pipeline, frames, golden)
+        ok = pts_err <= pts_tol and (conf_tol is None or conf_err <= conf_tol)
+        report[name] = {
+            "pts_err": round(pts_err, 5),
+            "conf_err": round(conf_err, 5),
+            "pass": ok,
+        }
+        all_pass = all_pass and ok
+    return report, all_pass
 
 
 def measure_fps(pipeline, T, iters=None):
@@ -375,10 +470,37 @@ def main():
         ("parity f32/highest", parity_cfg(jnp.float32, "float32"), 64),
     ]
 
-    official = None
+    try:
+        probes = load_probe_frames()
+    except Exception as e:                           # noqa: BLE001
+        # probe construction must not kill the bench, but its absence is
+        # loud: the official gate falls back to the clean contract only
+        print(json.dumps({
+            "metric": "held-out probe construction FAILED (gate falls "
+                      "back to clean contract only)",
+            "value": 0.0, "unit": "",
+            "error": f"{type(e).__name__}: {e}"[:300],
+        }))
+        probes = {}
+
+    # Ladder scan: the ladder is *intended* fastest-first, but ordering is
+    # not trusted (ADVICE r3) — the official line is the FASTEST measured
+    # passer, and the scan continues one candidate past the first passer
+    # to catch a mis-ordered ladder (DF3D_BENCH_ALL=1 measures everything;
+    # each extra candidate costs a fresh XLA compile through the tunnel).
+    measure_all = bool(os.environ.get("DF3D_BENCH_ALL"))
+    extra_after_pass = 1
+    seen_pass = False
     results = []
-    for label, cfg, T in candidates:
-        T = int(os.environ.get("DF3D_BENCH_T", str(T)))
+    for label, cfg, T_default in candidates:
+        if not measure_all and seen_pass and extra_after_pass <= 0:
+            break
+        # DF3D_BENCH_T only applies where it does not EXCEED the
+        # candidate's default T — the f32 configs are pinned to T=64
+        # because T=128 f32 activations exceed the chip's HBM
+        T = T_default
+        if os.environ.get("DF3D_BENCH_T"):
+            T = min(int(os.environ["DF3D_BENCH_T"]), T_default)
         # a broken candidate (OOM at its T, compile failure) must not
         # take down the whole bench — the remaining ladder still holds
         # slower configs that can carry the official line
@@ -390,9 +512,19 @@ def main():
                 pipeline = build_pipeline(
                     spec, variables, calib, order, input_shape, precision
                 )
-            pts_err, conf_err, passes = verify_contract(
+            pts_err, conf_err, clean_pass = verify_contract(
                 pipeline, golden_frames, golden
             )
+            # held-out probes only run for clean passers (a clean failure
+            # is already disqualified; probe dispatches aren't free)
+            if clean_pass and probes:
+                probe_report, probes_pass = verify_probes(
+                    pipeline, probes, golden
+                )
+            else:
+                # no probes available -> the probe gate is vacuous
+                probe_report, probes_pass = {}, not probes
+            passes = clean_pass and probes_pass
             fps, frames, iters, dt = measure_fps(pipeline, T)
             mfu = pipeline_mfu(pipeline, frames, iters, dt)
         except Exception as e:                       # noqa: BLE001
@@ -407,28 +539,43 @@ def main():
         rec = {
             "label": label, "fps": fps, "pts_err": pts_err,
             "conf_err": conf_err, "passes": passes, "mfu": mfu,
+            "clean_pass": clean_pass, "probes": probe_report,
         }
         results.append(rec)
-        if passes and official is None:
-            official = rec
-        if official is not None:
-            break  # ladder is fastest-first: first pass wins
+        if seen_pass:
+            extra_after_pass -= 1
+        if passes:
+            seen_pass = True
+
+    official = None
+    passers = [r for r in results if r["passes"]]
+    if passers:
+        official = max(passers, key=lambda r: r["fps"])
 
     # informational lines for every non-official config measured
     for rec in results:
         if official is not None and rec is official:
             continue
-        print(json.dumps({
+        if not rec["clean_pass"]:
+            status = "FAILS golden contract"
+        elif not rec["passes"]:
+            failed = [k for k, v in rec["probes"].items() if not v["pass"]]
+            status = ("passes golden contract but FAILS held-out "
+                      f"probe(s) {failed}")
+        else:
+            status = "passes golden contract + held-out probes"
+        line = {
             "metric": f"7-cam frames/sec/chip ({rec['label']}; "
-                      "informational — "
-                      + ("passes" if rec["passes"] else "FAILS")
-                      + " golden contract)",
+                      f"informational — {status})",
             "value": round(rec["fps"], 2),
             "unit": "frames/s",
             "vs_baseline": round(rec["fps"] / BASELINE_FPS, 4),
             "pts_err": round(rec["pts_err"], 5),
             "conf_err": round(rec["conf_err"], 5),
-        }))
+        }
+        if rec["probes"]:
+            line["probes"] = rec["probes"]
+        print(json.dumps(line))
 
     # second BASELINE metric: bundle-adjust ms/recording (after the fps
     # measurement so the x64 re-enable cannot perturb the hot-path compile)
@@ -483,16 +630,20 @@ def main():
         print(json.dumps(line))
         return
 
+    probe_names = "+".join(sorted(official["probes"])) or "none-available"
     line = {
         "metric": "7-cam frames/sec/chip (2D hourglass + DLT 3D, e2e "
                   f"jitted; {official['label']}; golden contract verified "
-                  "in-run: pts<=0.02, conf<=0.002)",
+                  "in-run: pts<=0.02, conf<=0.002; held-out probes "
+                  f"[{probe_names}] verified in-run)",
         "value": round(official["fps"], 2),
         "unit": "frames/s",
         "vs_baseline": round(official["fps"] / BASELINE_FPS, 4),
         "pts_err": round(official["pts_err"], 5),
         "conf_err": round(official["conf_err"], 5),
     }
+    if official["probes"]:
+        line["probes"] = official["probes"]
     if official["mfu"] is not None:
         line["mfu"] = round(official["mfu"], 4)
     print(json.dumps(line))

@@ -160,13 +160,31 @@ def video_frame_count(folder: str) -> int:
 
 
 def read_video_frame(vid: str, img_id: int) -> np.ndarray:
-    """RGB uint8 frame ``img_id`` of a video (seek-based; for plotting/GUI
-    in streaming mode — bulk inference uses the sequential decoders)."""
+    """RGB uint8 frame ``img_id`` of a video (for plotting/GUI in
+    streaming mode — bulk inference uses the sequential decoders).
+
+    CAP_PROP_POS_FRAMES seeks are keyframe-inaccurate for some
+    codec/container combinations under OpenCV, which would silently
+    misalign the displayed image with the sequential decoder's frame
+    numbering (the 2D overlays would be drawn on a neighbouring frame).
+    The seek is therefore VERIFIED via the position readback and falls
+    back to sequential decoding when the demuxer cannot prove it landed
+    on the requested index.
+    """
     import cv2
 
     cap = cv2.VideoCapture(vid)
     try:
         cap.set(cv2.CAP_PROP_POS_FRAMES, img_id)
+        # readback: after a trusted seek the next grab is exactly img_id
+        if int(cap.get(cv2.CAP_PROP_POS_FRAMES)) != img_id:
+            cap.release()
+            cap = cv2.VideoCapture(vid)  # sequential decode from 0
+            for _ in range(img_id):
+                if not cap.grab():
+                    raise IOError(
+                        f"Cannot reach frame {img_id} of {vid} sequentially"
+                    )
         ok, frame = cap.read()
         if not ok:
             raise IOError(f"Cannot read frame {img_id} from {vid}")

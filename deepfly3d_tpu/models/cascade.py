@@ -10,11 +10,16 @@ program that holds the reference's full golden contract (points2d atol
 speed:
 
 1. the student runs on every image (bf16 trunk, f32 head);
-2. every frame is DLT-triangulated from the student's own 2D output and
-   each image is scored by its worst per-joint reprojection residual —
-   a wrong argmax on one camera pulls that camera's residual far above
-   the inlier band (multi-view consistency is the one signal that does
-   not require knowing the golden answer);
+2. each image (camera, frame) is scored by LEAVE-ONE-OUT multi-view
+   consistency: the frame is re-triangulated *without* that camera and
+   the camera's own observations are reprojected against that
+   reconstruction.  A wrong argmax on camera c corrupts the *joint*
+   reconstruction — plain reprojection residuals therefore inflate on
+   every camera of the frame and can rank an innocent camera above the
+   failing one — but the LOO-c reconstruction is clean exactly when c is
+   the (single) offender, so blame lands on the right image (multi-view
+   consistency is the one signal that does not require knowing the
+   golden answer);
 3. the top-R suspicious images (R = ceil(repair_frac * N), a STATIC
    bound so the program has fixed shapes and data-independent cost) are
    re-run through the parity teacher and their POINTS are spliced in;
@@ -73,6 +78,47 @@ def _assemble38(pts19, order, left_cams, right_cams, K):
     return p38.at[right_cams, ..., 1].set(flipped)
 
 
+def loo_suspicion(p38, R, tvec, intr, image_shape):
+    """Per-image leave-one-out suspicion scores.
+
+    p38: (C, T, 38, 2) normalized (row, col) with the reference's
+    zero/flip-artifact "unobserved" encoding.  For each camera c the frame
+    is DLT-triangulated WITHOUT c's observations and c's own points are
+    reprojected against that reconstruction; the score of image (c, t) is
+    the worst per-joint residual (pixels).  When a single camera's argmax
+    is wrong, the LOO-c reconstruction is the one built only from correct
+    observations, so the blame lands on c rather than on frame-mates whose
+    plain residuals the corrupted joint reconstruction would inflate.
+
+    Returns (C, T) float scores.  Joints whose LOO reconstruction is
+    under-determined (<2 remaining observers) are excluded — reprojecting
+    the zero point they triangulate to would accuse an innocent camera.
+    """
+    C = p38.shape[0]
+    W_img, H_img = image_shape
+    dist0 = jnp.zeros((C, 5), jnp.float32)
+    obs_mask = geometry.observation_mask(p38)           # (C, T, 38)
+
+    def loo_cam_score(cam):
+        keep = 1.0 - jax.nn.one_hot(cam, C, dtype=jnp.float32)
+        p_loo = p38 * keep[:, None, None, None]
+        pts3d_loo = geometry.triangulate(
+            p_loo, R, tvec, intr, (W_img, H_img), method="normal",
+        )
+        res, mask = geometry.reprojection_residuals(
+            pts3d_loo, p38, R, tvec, intr, dist0, (W_img, H_img),
+        )                                               # (C, T, 38, 2)
+        loo_valid = (
+            jnp.sum(obs_mask * keep[:, None, None], axis=0) >= 2
+        )                                               # (T, 38)
+        err = (
+            jnp.linalg.norm(res[cam], axis=-1) * mask[cam] * loo_valid
+        )                                               # (T, 38)
+        return err.max(axis=-1)                         # (T,)
+
+    return jax.vmap(loo_cam_score)(jnp.arange(C))       # (C, T)
+
+
 def build_cascade_pipeline(
     student_vars,
     student_spec: HourglassSpec,
@@ -126,21 +172,14 @@ def build_cascade_pipeline(
         conf = conf_s.reshape(T, C, K, 1).transpose(1, 0, 2, 3)
         p38_s = _assemble38(pts19, order, left_cams, right_cams, K)
 
-        # ---- 2. suspicion: per-image worst reprojection residual of the
-        # student's own multi-view reconstruction
-        pts3d_s = geometry.triangulate(
+        # ---- 2. suspicion: per-image worst LEAVE-ONE-OUT reprojection
+        # residual (loo_suspicion above) — vmapped over cameras: 7 extra
+        # DLT passes, all VPU math, a few ms against the student forward.
+        score = loo_suspicion(
             p38_s, jnp.asarray(R_cal, jnp.float32),
             jnp.asarray(tvec, jnp.float32), jnp.asarray(intr, jnp.float32),
-            (W_img, H_img), method="normal",
-        )
-        res, mask = geometry.reprojection_residuals(
-            pts3d_s, p38_s,
-            jnp.asarray(R_cal, jnp.float32), jnp.asarray(tvec, jnp.float32),
-            jnp.asarray(intr, jnp.float32),
-            jnp.zeros((C, 5), jnp.float32), (W_img, H_img),
-        )                                               # (C, T, 38, 2)
-        err = jnp.linalg.norm(res, axis=-1) * mask      # (C, T, 38)
-        score = err.max(axis=-1)                        # (C, T)
+            (W_img, H_img),
+        )                                               # (C, T)
         score_flat = score.T.reshape(N)                 # image-major (t, c)
 
         # ---- 3. static top-R parity repair

@@ -171,6 +171,14 @@ def main():
         assert not (args.distill_teacher or args.self_distill), (
             "--augment-envelope is not combinable with distillation flags"
         )
+        # The keep-best gate latches its conf reference on the FIRST eval
+        # assuming that eval measures the resumed parity seed; without
+        # --resume it would latch onto a random init's huge conf error and
+        # the no-regression-vs-seed gate would be vacuous (ADVICE r3).
+        assert args.resume and os.path.exists(args.out), (
+            "--augment-envelope hardens an existing parity seed: "
+            "pass --resume with --out pointing at the seed checkpoint"
+        )
         # Envelope-widening pool (VERDICT r3 item: the shipped weights'
         # parity collapses at +-2 px shift / +-5% gain).  Each variant
         # applies one of the EXACT transforms measure_robustness.py

@@ -112,6 +112,39 @@ class TestCascade:
         # fused-program vs standalone-program XLA fusion jitter
         np.testing.assert_allclose(conf_got, conf_s, atol=1e-4)
 
+    def test_loo_suspicion_blames_the_failing_camera(self, golden_3d):
+        """A wrong argmax on ONE camera must rank that image — not an
+        innocent frame-mate — at the top of the suspicion order.  Plain
+        (non-LOO) residuals fail this: the corrupted joint reconstruction
+        inflates every camera of the frame (ADVICE r3 finding)."""
+        from deepfly3d_tpu.models.cascade import loo_suspicion
+
+        calib = {
+            c: golden_3d[c] for c in range(7)
+        }
+        R, tvec, intr, _ = geometry.calib_to_arrays(calib, 7, np.float32)
+        p38 = np.array(golden_3d["points2d"], np.float32)  # (7, 15, 38, 2)
+
+        for bad_cam, bad_t in [(0, 3), (1, 7), (5, 11)]:
+            corrupted = p38.copy()
+            # a one-heatmap-cell argmax flip on a handful of joints
+            joints = np.nonzero(
+                geometry.observation_mask(
+                    jnp.asarray(corrupted[bad_cam, bad_t])[None]
+                )[0]
+            )[0][:4]
+            corrupted[bad_cam, bad_t, joints, 0] += 10.0 / 64.0
+            scores = np.asarray(loo_suspicion(
+                jnp.asarray(corrupted), jnp.asarray(R), jnp.asarray(tvec),
+                jnp.asarray(intr), (960, 480),
+            ))
+            flat_top = np.argmax(scores.T.reshape(-1))
+            t_top, c_top = divmod(flat_top, 7)
+            assert (c_top, t_top) == (bad_cam, bad_t), (
+                f"corrupted ({bad_cam},{bad_t}) but top suspicion was "
+                f"({c_top},{t_top})"
+            )
+
     def test_static_cost_independent_of_data(self, tiny_setup):
         """Same jitted program for different inputs: the repair batch is a
         static top-R gather, so no retraces / data-dependent shapes."""
