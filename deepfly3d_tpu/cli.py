@@ -103,12 +103,18 @@ def parse_cli_args(argv=None):
                         help="Sub-pixel heatmap decoding (off = reference-exact argmax)")
     parser.add_argument("--checkpoint", default=None,
                         help="Override the hourglass weight file")
-    parser.add_argument("--streaming", action="store_true",
+    parser.add_argument("--streaming", action="store_true", default=None,
                         help="Run inference straight from camera_{c}.mp4 "
                              "videos (bounded-memory streaming decode) — no "
                              "ffmpeg expansion, no intermediate JPEGs on "
-                             "disk. Default (off) keeps the reference's "
+                             "disk. Default: auto — recordings longer than "
+                             "the config threshold (512 frames) stream, "
+                             "short ones keep the reference's "
                              "expand-to-JPEG flow for byte compatibility.")
+    parser.add_argument("--no-streaming", dest="streaming",
+                        action="store_false",
+                        help="Force the reference-compatible JPEG expansion "
+                             "flow regardless of recording length.")
     parser.add_argument("--profile", choices=["fly", "h36m"], default="fly",
                         help="Capture profile: 'fly' (7-camera Drosophila, "
                              "the reference default) or 'h36m' (4-camera "
@@ -229,7 +235,7 @@ def run(args) -> int:
         core = Core(
             args.input_folder, args.output_folder, args.num_images_max,
             order, config=config,
-            streaming=getattr(args, "streaming", False),
+            streaming=getattr(args, "streaming", None),
         )
 
     if not args.skip_estimation:

@@ -79,6 +79,11 @@ class Config:
     # plotting
     line_thickness: int = 3
     scatter_r: int = 6
+    # recordings longer than this auto-switch Core to the bounded-memory
+    # streaming video path (Core.__init__ streaming=None); at 480x960x3
+    # uint8 the image pipeline materializes ~9.7 MB/frame across 7 cams,
+    # so 512 frames ~ 5 GB host RAM — the practical ceiling here
+    streaming_auto_threshold: int = 512
 
     @property
     def num_joints(self) -> int:

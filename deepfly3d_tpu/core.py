@@ -59,18 +59,30 @@ class Core:
         num_images_max: Optional[int] = None,
         camera_ordering: Optional[Sequence[int]] = (0, 1, 2, 3, 4, 5, 6),
         config: Optional[Config] = None,
-        streaming: bool = False,
+        streaming: Optional[bool] = None,
     ):
         """``streaming=True`` runs inference straight from the camera
         videos (bounded-memory libav/cv2 decode, SURVEY N3) — no ffmpeg
         expansion, no intermediate JPEGs on disk (the reference must
-        expand first, reference core.py:446-459)."""
+        expand first, reference core.py:446-459).
+
+        ``streaming=None`` (default) auto-selects: recordings whose
+        effective frame count exceeds ``config.streaming_auto_threshold``
+        stream (the image pipeline would materialize every frame of every
+        camera in host RAM, ~9.7 MB/frame for the 7-camera rig);
+        already-expanded folders and short recordings keep the
+        reference-compatible JPEG flow.  ``streaming=False`` forces the
+        JPEG flow regardless of length.
+        """
         self.config = config or fly_config()
-        self.streaming = bool(streaming)
         self.input_folder = input_folder
         self.output_folder = (
             output_folder if output_folder is not None else self._input_folder + "_df3d"
         )
+
+        if streaming is None:
+            streaming = self._auto_streaming(num_images_max)
+        self.streaming = bool(streaming)
 
         if self.streaming and not discovery.list_videos(self._input_folder):
             logger.warning(
@@ -164,6 +176,38 @@ class Core:
         return list(self._image_shape)
 
     # --------------------------------------------------------------- setup
+
+    def _auto_streaming(self, num_images_max) -> bool:
+        """Streaming auto-policy (VERDICT r3: size-triggered default).
+
+        Stream iff (a) camera videos exist, (b) the folder is not already
+        expanded to JPEGs (an expanded folder is the reference's resume
+        state — honour it), and (c) the effective frame count (capped by
+        ``num_images_max``) exceeds ``config.streaming_auto_threshold``.
+        """
+        vids = discovery.list_videos(self._input_folder)
+        if not vids:
+            return False
+        already_expanded = any(
+            os.path.exists(os.path.join(
+                self._input_folder, f"camera_{c}_img_0.jpg"
+            ))
+            for c in range(self.config.num_cameras)
+        )
+        if already_expanded:
+            return False
+        n = discovery.video_frame_count(self._input_folder)
+        if num_images_max:
+            n = min(n, int(num_images_max))
+        if n > self.config.streaming_auto_threshold:
+            logger.info(
+                f"recording has {n} frames (> "
+                f"{self.config.streaming_auto_threshold}): using the "
+                "bounded-memory streaming pipeline (pass streaming=False "
+                "/ --no-streaming to force JPEG expansion)"
+            )
+            return True
+        return False
 
     def _probe_image_shape(self):
         template = discovery.image_path_template(self._input_folder)

@@ -47,6 +47,99 @@ class TestLoad:
             find_default_camera_ordering("/data/unknown/images")
 
 
+class TestAutoStreaming:
+    """Size-triggered streaming default (VERDICT r3 item 10): long video
+    recordings must not materialize every frame of every camera in host
+    RAM — Core auto-switches to the bounded-memory video pipeline."""
+
+    @staticmethod
+    def _config(threshold):
+        from deepfly3d_tpu.config import fly_config
+
+        cfg = fly_config()
+        cfg.streaming_auto_threshold = threshold
+        return cfg
+
+    def test_long_recording_auto_streams(self, working_videos):
+        core = Core(
+            input_folder=working_videos,
+            output_folder=working_videos + "_df3d",
+            num_images_max=0,
+            camera_ordering=[0, 1, 2, 3, 4, 5, 6],
+            config=self._config(10),   # bundled recording: 15 frames
+        )
+        assert core.streaming
+        # the whole point: no expansion to JPEGs happened
+        assert not any(
+            f.endswith(".jpg") for f in os.listdir(working_videos)
+        )
+        # and the bounded path must never call the materializing reader
+        import deepfly3d_tpu.models.inference as inf_mod
+
+        orig = inf_mod._read_images_threaded
+        inf_mod._read_images_threaded = lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("image-materializing reader used in streaming mode")
+        )
+        try:
+            assert core.num_images == 15
+        finally:
+            inf_mod._read_images_threaded = orig
+
+    def test_short_recording_keeps_jpeg_flow(self, working_videos):
+        core = Core(
+            input_folder=working_videos,
+            output_folder=working_videos + "_df3d",
+            num_images_max=0,
+            camera_ordering=[0, 1, 2, 3, 4, 5, 6],
+            config=self._config(100),
+        )
+        assert not core.streaming
+        assert any(f.endswith(".jpg") for f in os.listdir(working_videos))
+
+    def test_num_images_max_caps_the_decision(self, working_videos):
+        core = Core(
+            input_folder=working_videos,
+            output_folder=working_videos + "_df3d",
+            num_images_max=5,          # below the threshold of 10
+            camera_ordering=[0, 1, 2, 3, 4, 5, 6],
+            config=self._config(10),
+        )
+        assert not core.streaming
+
+    def test_expanded_folder_is_honoured(self, working_images):
+        """A folder already expanded to JPEGs is the reference's resume
+        state — auto must not silently switch it to streaming."""
+        core = Core(
+            input_folder=working_images,
+            output_folder=working_images + "_df3d",
+            num_images_max=0,
+            camera_ordering=[0, 1, 2, 3, 4, 5, 6],
+            config=self._config(1),
+        )
+        assert not core.streaming
+
+    def test_explicit_false_overrides_auto(self, working_videos):
+        core = Core(
+            input_folder=working_videos,
+            output_folder=working_videos + "_df3d",
+            num_images_max=0,
+            camera_ordering=[0, 1, 2, 3, 4, 5, 6],
+            config=self._config(10),
+            streaming=False,
+        )
+        assert not core.streaming
+        assert any(f.endswith(".jpg") for f in os.listdir(working_videos))
+
+    def test_cli_no_streaming_flag(self):
+        from deepfly3d_tpu import cli
+
+        assert cli.parse_cli_args(["/tmp/x"]).streaming is None
+        assert cli.parse_cli_args(["/tmp/x", "--streaming"]).streaming is True
+        assert cli.parse_cli_args(
+            ["/tmp/x", "--no-streaming"]
+        ).streaming is False
+
+
 class TestCalibration:
     def test_golden_calibration_chain(self, working_images, golden_2d, golden_3d):
         """Seed golden 2D, calibrate, save — full golden 3D parity
