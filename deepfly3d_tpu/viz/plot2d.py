@@ -24,6 +24,12 @@ def _valid_point(pt: np.ndarray, width: int, height: int) -> bool:
     return 0 <= x < width + 1 and 0 <= y < height + 1
 
 
+# pyba draws joint markers as navy open squares (measured off the
+# reference's shipped golden video, docs/REFVIDEO_DIFF.json methodology);
+# matching the style closed ~20% of the residual 2D-row pixel gap
+MARKER_COLOR = (0, 0, 128)     # RGB navy
+
+
 def draw_pose2d(
     image: np.ndarray,
     points_xy: np.ndarray,
@@ -31,9 +37,17 @@ def draw_pose2d(
     cam_id: int,
     joints: Sequence[int] = (),
     line_thickness: int = 3,
-    scatter_r: int = 6,
+    scatter_r: int = 5,
+    marker: str = "square",
+    marker_color: Optional[Sequence[int]] = MARKER_COLOR,
 ) -> np.ndarray:
-    """Draw the skeleton over ``image`` (H, W, 3) at pixel (x, y) points."""
+    """Draw the skeleton over ``image`` (H, W, 3) at pixel (x, y) points.
+
+    ``marker``: "square" (pyba's navy open square, the reference-video
+    look) or "circle" (filled dot in the joint's bone color when
+    ``marker_color`` is None).  Lines are anti-aliased, as measured from
+    the reference's shipped golden video.
+    """
     import cv2
 
     out = np.ascontiguousarray(image.copy())
@@ -64,6 +78,7 @@ def draw_pose2d(
             (int(round(p1[0])), int(round(p1[1]))),
             tuple(int(c) for c in colors[j0]),
             line_thickness,
+            lineType=cv2.LINE_AA,
         )
 
     for j in range(skeleton.num_joints):
@@ -74,11 +89,17 @@ def draw_pose2d(
         p = points_xy[j]
         if not _valid_point(p, w, h):
             continue
-        cv2.circle(
-            out,
-            (int(round(p[0])), int(round(p[1]))),
-            scatter_r,
-            tuple(int(c) for c in colors[j]),
-            -1,
+        x, y = int(round(p[0])), int(round(p[1]))
+        color = tuple(
+            int(c) for c in (marker_color if marker_color is not None
+                             else colors[j])
         )
+        if marker == "square":
+            cv2.rectangle(
+                out, (x - scatter_r, y - scatter_r),
+                (x + scatter_r, y + scatter_r), color, 3,
+                lineType=cv2.LINE_AA,
+            )
+        else:
+            cv2.circle(out, (x, y), scatter_r, color, -1)
     return out

@@ -103,18 +103,44 @@ def main():
     video3d_fps = frames_per_round / (time.perf_counter() - t0)
     shutil.rmtree(tmp)
 
-    for metric, fps in (
-        ("host jpeg decode", decode_fps),
-        ("ingest+infer+decode (prefetch path)", infer_fps),
-        ("triangulate+procrustes+filter", geom_fps),
-        ("video 2d render+encode", video2d_fps),
-        ("video 3d render+encode", video3d_fps),
-    ):
+    stages = {
+        "host jpeg decode": decode_fps,
+        "ingest+infer+decode (prefetch path)": infer_fps,
+        "triangulate+procrustes+filter": geom_fps,
+        "video 2d render+encode": video2d_fps,
+        "video 3d render+encode": video3d_fps,
+    }
+    for metric, fps in stages.items():
         print(json.dumps({
             "metric": f"host-inclusive: {metric}",
             "value": round(fps, 2),
             "unit": "frames/s (7-cam)",
         }))
+
+    # committed per-round artifact (VERDICT r3 item 7): the Amdahl tails
+    # stay visible next to the device-only BENCH_r*.json headline
+    out_path = None
+    if len(sys.argv) > 1 and sys.argv[1] == "--out":
+        out_path = sys.argv[2]
+    elif os.environ.get("DF3D_HOSTBENCH_OUT"):
+        out_path = os.environ["DF3D_HOSTBENCH_OUT"]
+    if out_path:
+        import jax
+
+        with open(out_path, "w") as f:
+            json.dump({
+                "workload": "bundled recording, 7 cams x 15 frames",
+                "backend": jax.devices()[0].platform,
+                "rounds": ROUNDS,
+                "stages_fps": {k: round(v, 2) for k, v in stages.items()},
+                # the serial end-to-end rate a single-recording CLI run
+                # pays (sum of stage times; the fleet/prefetch paths
+                # overlap stages, so this is the pessimistic bound)
+                "serial_e2e_fps": round(
+                    1.0 / sum(1.0 / v for v in stages.values()), 2
+                ),
+            }, f, indent=1)
+        print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":

@@ -46,7 +46,7 @@ FPS = 5          # reference tests/test_df3d.py:25 TEST_DATA_VIDEO_FRAMERATE
 NUM_FRAMES = 15
 
 
-def render_ours(tmp):
+def render_ours(tmp, num_frames=None):
     from deepfly3d_tpu.core import Core
     from deepfly3d_tpu.io import result_schema
     from deepfly3d_tpu.viz import video
@@ -77,7 +77,7 @@ def render_ours(tmp):
     core = Core(
         input_folder=work,
         output_folder=out_dir,
-        num_images_max=NUM_FRAMES,
+        num_images_max=num_frames or NUM_FRAMES,
         camera_ordering=[0, 1, 2, 3, 4, 5, 6],
     )
     video.make_pose3d_video(
@@ -132,14 +132,14 @@ def main():
     report["shapes_match"] = bool(comparable)
     if comparable:
         h = ref[0].shape[0]
-        # the reference layout is 3 equal-height rows (2x3 2D grid + 3D row)
-        row_h = h // 3
+        # layout: two 2D rows of 1:2-aspect tiles (h/4 each) on top of a
+        # 3D row of square tiles (h/2) — 833+833+1666 at width 5000
         for i, (r, o) in enumerate(zip(ref, ours)):
             d = np.abs(r.astype(np.int16) - o.astype(np.int16))
             rows = {}
             for name, sl in (
-                ("2d_rows", slice(0, 2 * row_h)),
-                ("3d_row", slice(2 * row_h, h)),
+                ("2d_rows", slice(0, h // 2)),
+                ("3d_row", slice(h // 2, h)),
             ):
                 dd = d[sl]
                 rows[name] = {

@@ -242,6 +242,43 @@ class TestVideos:
         assert w == 5000
 
 
+REF_VIDEO = "/root/reference/tests/data/reference_df3d/video_pose3d.mp4"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REF_VIDEO),
+    reason="reference mount not present (CI)",
+)
+class TestReferenceVideoGap:
+    """Pin the measured distance to the reference's SHIPPED golden video
+    (docs/REFVIDEO_DIFF.json methodology, VERDICT r3 item 6): layout
+    identical, 3D row pixel-equivalent up to codec noise, 2D-overlay
+    styling gap bounded."""
+
+    def test_first_frames_within_measured_gap(self, tmp_path):
+        import importlib.util
+
+        import cv2
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        spec = importlib.util.spec_from_file_location(
+            "crv", os.path.join(repo, "scripts", "compare_reference_video.py")
+        )
+        crv = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(crv)
+
+        ours_path = crv.render_ours(str(tmp_path), num_frames=2)
+        ours = crv.read_frames(ours_path)
+        ref = crv.read_frames(REF_VIDEO)[: len(ours)]
+        assert len(ours) == 2
+        assert ref[0].shape == ours[0].shape == (3332, 5000, 3)
+        h = ref[0].shape[0]
+        for r, o in zip(ref, ours):
+            d = np.abs(r.astype(np.int16) - o.astype(np.int16))
+            assert (d > 8).mean() < 0.03          # whole frame
+            assert (d[h // 2 :] > 8).mean() < 0.005  # 3D row ~codec noise
+
+
 class TestRaster3D:
     """The cv2 3D rasterizer (viz/raster3d.py) — the default 3D-row
     renderer, ~100x faster than the matplotlib figure path it replaces."""
