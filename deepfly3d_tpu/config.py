@@ -76,10 +76,10 @@ class Config:
     calib_prior_path: str = os.path.join(_DATA_DIR, "calib.pkl")
     procrustes_apply: bool = True
     procrustes_template_path: str = _DATA_DIR  # dir containing df3d_result*.pkl
-    # plotting (marker style measured off the reference's shipped golden
-    # video: navy open squares of half-size 5, viz/plot2d.py)
-    line_thickness: int = 3
-    scatter_r: int = 5
+    # plotting (style swept against the reference's shipped golden video:
+    # filled navy circles r=8 over thickness-5 LINE_8 bones, viz/plot2d.py)
+    line_thickness: int = 5
+    scatter_r: int = 8
     # recordings longer than this auto-switch Core to the bounded-memory
     # streaming video path (Core.__init__ streaming=None); at 480x960x3
     # uint8 the image pipeline materializes ~9.7 MB/frame across 7 cams,

@@ -24,9 +24,12 @@ def _valid_point(pt: np.ndarray, width: int, height: int) -> bool:
     return 0 <= x < width + 1 and 0 <= y < height + 1
 
 
-# pyba draws joint markers as navy open squares (measured off the
-# reference's shipped golden video, docs/REFVIDEO_DIFF.json methodology);
-# matching the style closed ~20% of the residual 2D-row pixel gap
+# pyba's joint/bone style, fit by parameter sweep against the reference's
+# shipped golden video (scripts/compare_reference_video.py methodology):
+# filled navy circles r=8 (anti-aliased) over LINE_8 bone lines of
+# thickness 5, drawn at the RAW (unsmoothed) points.  This sweep cut the
+# differing 2D-row pixels vs the reference golden from 3.1% to 2.0%
+# (max-over-channels, |d|>8); the residual is sub-pixel edge halos.
 MARKER_COLOR = (0, 0, 128)     # RGB navy
 
 
@@ -36,17 +39,18 @@ def draw_pose2d(
     skeleton: Skeleton,
     cam_id: int,
     joints: Sequence[int] = (),
-    line_thickness: int = 3,
-    scatter_r: int = 5,
-    marker: str = "square",
+    line_thickness: int = 5,
+    scatter_r: int = 8,
+    marker: str = "circle",
     marker_color: Optional[Sequence[int]] = MARKER_COLOR,
 ) -> np.ndarray:
     """Draw the skeleton over ``image`` (H, W, 3) at pixel (x, y) points.
 
-    ``marker``: "square" (pyba's navy open square, the reference-video
-    look) or "circle" (filled dot in the joint's bone color when
-    ``marker_color`` is None).  Lines are anti-aliased, as measured from
-    the reference's shipped golden video.
+    ``marker``: "circle" (pyba's filled navy dot, the reference-video
+    look — in the joint's bone color when ``marker_color`` is None) or
+    "square" (open square, the pre-round-4 style).  Bone lines are
+    LINE_8 (no AA), markers anti-aliased — both measured off the
+    reference's shipped golden video.
     """
     import cv2
 
@@ -78,7 +82,7 @@ def draw_pose2d(
             (int(round(p1[0])), int(round(p1[1]))),
             tuple(int(c) for c in colors[j0]),
             line_thickness,
-            lineType=cv2.LINE_AA,
+            lineType=cv2.LINE_8,
         )
 
     for j in range(skeleton.num_joints):
@@ -101,5 +105,5 @@ def draw_pose2d(
                 lineType=cv2.LINE_AA,
             )
         else:
-            cv2.circle(out, (x, y), scatter_r, color, -1)
+            cv2.circle(out, (x, y), scatter_r, color, -1, lineType=cv2.LINE_AA)
     return out

@@ -36,13 +36,25 @@ def make_pose2d_video(
     input_folder: str,
     output_folder: str,
     fps: Optional[float] = DEFAULT_FPS,
+    smooth: bool = False,
 ):
-    """2x3 grid video of 2D overlays (reference video.py:21-48)."""
+    """2x3 grid video of 2D overlays (reference video.py:21-48).
+
+    ``smooth`` defaults to False to match the reference's shipped videos:
+    its video.py:65-66 passes smooth=True but reference core.py:298-319
+    ignores the flag and always draws the raw stored points — the golden
+    video is rendered from RAW points.  Pass smooth=True here for the
+    (working) adaptive-smoothing overlay the reference intended.
+    """
 
     def frames():
         for img_id in range(num_images):
-            row1 = np.hstack([plot_2d(c, img_id, smooth=True) for c in (0, 1, 2)])
-            row2 = np.hstack([plot_2d(c, img_id, smooth=True) for c in (4, 5, 6)])
+            row1 = np.hstack(
+                [plot_2d(c, img_id, smooth=smooth) for c in (0, 1, 2)]
+            )
+            row2 = np.hstack(
+                [plot_2d(c, img_id, smooth=smooth) for c in (4, 5, 6)]
+            )
             yield np.vstack([row1, row2])
 
     name = "video_pose2d_" + input_folder.replace("/", "_") + ".mp4"
@@ -107,12 +119,16 @@ def make_pose3d_video(
     fps: Optional[float] = DEFAULT_FPS,
     skeleton=None,
     renderer: str = "raster",
+    smooth: bool = False,
 ):
     """2D grid + 3D row video (reference video.py:51-78).
 
     ``renderer``: "raster" (default — direct cv2 projection,
     viz/raster3d.py) or "matplotlib" (reference-look figures; pooled
     across processes when the host has more than one core).
+    ``smooth``: False matches the reference's shipped golden video (its
+    smooth flag is dead — reference core.py:298-319 draws raw points);
+    True enables the working adaptive 2D smoothing.
     """
     import cv2
 
@@ -133,13 +149,13 @@ def make_pose3d_video(
         for img_id, row3_imgs in zip(range(num_images), rows3d):
             row1 = np.hstack(
                 [
-                    cv2.resize(plot_2d(c, img_id, smooth=True), size_2d)
+                    cv2.resize(plot_2d(c, img_id, smooth=smooth), size_2d)
                     for c in (0, 1, 2)
                 ]
             )
             row2 = np.hstack(
                 [
-                    cv2.resize(plot_2d(c, img_id, smooth=True), size_2d)
+                    cv2.resize(plot_2d(c, img_id, smooth=smooth), size_2d)
                     for c in (4, 5, 6)
                 ]
             )

@@ -566,6 +566,21 @@ def main():
           f"hp_scope={spec.hp_scope}, score_ksize=3, "
           f"deployed conf_err={conf_err:.5f})", flush=True)
 
+    # Held-out report (ADVICE r3: the in-run golden check is the fit's own
+    # training objective).  bench.py gates the official headline on these
+    # probes; measuring them here tells the operator IMMEDIATELY whether
+    # the calibrated checkpoint will survive that gate, instead of at the
+    # next bench run.
+    try:
+        pipeline = bench_mod.build_pipeline(
+            spec, new_vars, calib, order, input_shape)
+        probes = bench_mod.load_probe_frames()
+        report, all_pass = bench_mod.verify_probes(pipeline, probes, golden)
+        print(f"held-out probes ({'PASS' if all_pass else 'FAIL'}): "
+              f"{report}", flush=True)
+    except Exception as e:                           # noqa: BLE001
+        print(f"held-out probe report unavailable: {e}", flush=True)
+
 
 if __name__ == "__main__":
     main()

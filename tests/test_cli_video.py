@@ -275,8 +275,11 @@ class TestReferenceVideoGap:
         h = ref[0].shape[0]
         for r, o in zip(ref, ours):
             d = np.abs(r.astype(np.int16) - o.astype(np.int16))
-            assert (d > 8).mean() < 0.03          # whole frame
-            assert (d[h // 2 :] > 8).mean() < 0.005  # 3D row ~codec noise
+            # bounds sit ~40% above the round-4 measured gap
+            # (docs/REFVIDEO_DIFF.json: whole-frame frac_gt8 ~0.004,
+            # 2D rows ~0.008, 3D row ~0.0002)
+            assert (d > 8).mean() < 0.008         # whole frame
+            assert (d[h // 2 :] > 8).mean() < 0.002  # 3D row ~codec noise
 
 
 class TestRaster3D:
