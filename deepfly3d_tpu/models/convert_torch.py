@@ -13,11 +13,22 @@ converts such checkpoints into our Flax variable tree:
   ``conv1 / bn1 / layerN / hg / res / fc / score / fc_ / score_`` layout
 
 Because the df2d source is not available in this environment, conversion
-is validated structurally: a synthetic torch-style state dict generated
-from our own model round-trips exactly (tests/test_convert.py).  Loading a
-real sh8 checkpoint additionally requires the spec to match its
-architecture (features=256 trunk etc.) — mismatches raise with the full
-list of unmapped keys rather than silently mis-assigning.
+is validated two ways: structurally (a synthetic torch-style state dict
+generated from our own model round-trips exactly, tests/test_convert.py)
+and COMPUTATIONALLY (a faithful torch implementation of the canonical
+stacked-hourglass lineage is built, randomly initialized, converted, and
+its eval-mode forward must match our Flax forward to float32 tolerance —
+tests/test_convert_torch_forward.py; this pins padding/BN-eps/upsample/
+skip-projection conventions and the hourglass level ordering, which the
+structural test cannot see).  Loading a real sh8 checkpoint additionally
+requires the spec to match its architecture (features=256 trunk etc.) —
+mismatches raise with the full list of unmapped keys rather than silently
+mis-assigning.
+
+Specs for torch-converted checkpoints must set ``proj_from_raw=True``:
+the canonical torch Bottleneck projects the RAW block input in its
+downsample branch, while this repo's natively-trained nets project the
+pre-activated tensor (HourglassSpec.proj_from_raw).
 """
 
 from __future__ import annotations
@@ -64,6 +75,10 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     for k, v in sd.items():
         if k.startswith("module."):
             k = k[len("module."):]
+        if k.endswith("num_batches_tracked"):
+            # torch BN bookkeeping buffer (present in every real
+            # checkpoint since torch 0.4); no flax counterpart
+            continue
         out[k] = v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
     return out
 
@@ -143,9 +158,17 @@ def convert_state_dict(
 
     # per-stack modules
     for s in range(spec.num_stacks):
-        # hourglass residuals: canonical names hg.{s}.hg.{level}.{slot}.0
+        # hourglass residuals: canonical names hg.{s}.hg.{level}.{slot}.0.
+        # In the canonical torch lineage the level list is built innermost-
+        # first: hg[0] carries the deepest level's blocks (plus the extra
+        # innermost residual at slot 3) and the top of the recursion reads
+        # hg[depth-1]; our names count RECURSION depth d (top = depth), so
+        # torch level L maps to d = L + 1.  Pinned against a real torch
+        # forward in tests/test_convert_torch_forward.py — the pre-round-4
+        # depth-level mapping was inverted, which every same-width
+        # architecture converts "successfully" but computes wrongly.
         for level in range(spec.depth):
-            d = spec.depth - level  # our naming counts down from depth
+            d = level + 1
             slot_to_name = {
                 0: f"hg{s}/skip_d{d}_0",
                 1: f"hg{s}/down_d{d}_0",

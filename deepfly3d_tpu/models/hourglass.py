@@ -40,6 +40,14 @@ class HourglassSpec:
     num_blocks: int = 1         # residual blocks per stage
     num_classes: int = 19       # output heatmap channels
     expansion: int = 2          # bottleneck output = mid * expansion
+    # Skip-projection input convention for width-changing Bottlenecks.
+    # False (this repo's native nets): project the pre-activated tensor
+    # relu(bn1(x)).  True (canonical torch stacked-hourglass lineage,
+    # pytorch-pose style — what df2d's sh8 checkpoints follow): project
+    # the RAW block input x.  Checkpoints converted from torch must set
+    # True or the width-changing blocks compute a different function
+    # (tests/test_convert_torch_forward.py pins this forward-parity).
+    proj_from_raw: bool = False
     compute_dtype: Any = jnp.float32
     bn_momentum: float = 0.99   # batch-stat EMA; 0.0 = adopt batch stats
     # "conv": 7x7/2 conv + residual + pool (the classic hourglass stem —
@@ -123,6 +131,7 @@ class Bottleneck(nn.Module):
     dtype: Any = jnp.float32
     momentum: float = 0.99
     precision: Any = None       # matmul precision for this block's convs
+    proj_from_raw: bool = False  # see HourglassSpec.proj_from_raw
 
     def _bn(self, name, train):
         return nn.BatchNorm(
@@ -136,11 +145,12 @@ class Bottleneck(nn.Module):
         residual = x
         y = self._bn("bn1", train)(x)
         y = nn.relu(y)
-        # project the skip from the post-activation tensor when widths differ
+        # project the skip when widths differ: from the post-activation
+        # tensor (native) or the raw input (torch lineage; see spec)
         if x.shape[-1] != self.features:
             residual = nn.Conv(self.features, (1, 1), use_bias=True,
                                dtype=self.dtype, precision=self.precision,
-                               name="proj")(y)
+                               name="proj")(x if self.proj_from_raw else y)
         y = nn.Conv(mid, (1, 1), use_bias=True, dtype=self.dtype,
                     precision=self.precision, name="conv1")(y)
         y = self._bn("bn2", train)(y)
@@ -171,6 +181,7 @@ class Hourglass(nn.Module):
     dtype: Any = jnp.float32
     momentum: float = 0.99
     precision: Any = None
+    proj_from_raw: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -179,6 +190,7 @@ class Hourglass(nn.Module):
                 y = Bottleneck(self.features, dtype=self.dtype,
                                momentum=self.momentum,
                                precision=self.precision,
+                               proj_from_raw=self.proj_from_raw,
                                name=f"{name}{i}")(y, train)
             return y
 
@@ -237,8 +249,10 @@ class HourglassNet(nn.Module):
                              momentum=mom, name="stem_bn")(y)
             y = nn.relu(y)
             y = Bottleneck(s.features, dtype=dt, momentum=mom,
+                           proj_from_raw=s.proj_from_raw,
                            precision=stem_prec, name="stem_res2")(y, train)
             y = Bottleneck(s.features, dtype=dt, momentum=mom,
+                           proj_from_raw=s.proj_from_raw,
                            precision=stem_prec, name="stem_res3")(y, train)
         elif s.stem == "patch8":
             # overlapping embed straight to H/4 x W/4
@@ -249,8 +263,10 @@ class HourglassNet(nn.Module):
                              momentum=mom, name="stem_bn")(y)
             y = nn.relu(y)
             y = Bottleneck(s.features, dtype=dt, momentum=mom,
+                           proj_from_raw=s.proj_from_raw,
                            precision=stem_prec, name="stem_res2")(y, train)
             y = Bottleneck(s.features, dtype=dt, momentum=mom,
+                           proj_from_raw=s.proj_from_raw,
                            precision=stem_prec, name="stem_res3")(y, train)
         elif s.stem == "patchify":
             # 4x4 space-to-depth + linear embed: one MXU matmul from pixels
@@ -264,8 +280,10 @@ class HourglassNet(nn.Module):
                              momentum=mom, name="stem_bn")(y)
             y = nn.relu(y)
             y = Bottleneck(s.features, dtype=dt, momentum=mom,
+                           proj_from_raw=s.proj_from_raw,
                            precision=stem_prec, name="stem_res2")(y, train)
             y = Bottleneck(s.features, dtype=dt, momentum=mom,
+                           proj_from_raw=s.proj_from_raw,
                            precision=stem_prec, name="stem_res3")(y, train)
         else:
             # stem: /2 conv, residual, /2 pool, residuals -> features @ H/4
@@ -276,11 +294,14 @@ class HourglassNet(nn.Module):
                              momentum=mom, name="stem_bn")(y)
             y = nn.relu(y)
             y = Bottleneck(s.features, dtype=dt, momentum=mom,
+                           proj_from_raw=s.proj_from_raw,
                            precision=stem_prec, name="stem_res1")(y, train)
             y = nn.max_pool(y, (2, 2), strides=(2, 2))
             y = Bottleneck(s.features, dtype=dt, momentum=mom,
+                           proj_from_raw=s.proj_from_raw,
                            precision=stem_prec, name="stem_res2")(y, train)
             y = Bottleneck(s.features, dtype=dt, momentum=mom,
+                           proj_from_raw=s.proj_from_raw,
                            precision=stem_prec, name="stem_res3")(y, train)
 
         u = s.head_upsample
@@ -289,8 +310,10 @@ class HourglassNet(nn.Module):
             p_trunk, p_head, p_score = stack_prec(i)
             hg = Hourglass(s.features, s.depth, s.num_blocks, dtype=dt,
                            momentum=mom, precision=p_trunk,
+                           proj_from_raw=s.proj_from_raw,
                            name=f"hg{i}")(y, train)
             f = Bottleneck(s.features, dtype=dt, momentum=mom,
+                           proj_from_raw=s.proj_from_raw,
                            precision=p_head, name=f"feat_res{i}")(hg, train)
             f = nn.Conv(s.features, (1, 1), use_bias=True, dtype=dt,
                         precision=p_head, name=f"feat_conv{i}")(f)
@@ -367,6 +390,8 @@ def save_weights(path: str, variables, spec: HourglassSpec) -> None:
         meta["__spec__/preprocess_dtype"] = spec.preprocess_dtype
     if spec.score_ksize != 1:
         meta["__spec__/score_ksize"] = spec.score_ksize
+    if spec.proj_from_raw:
+        meta["__spec__/proj_from_raw"] = 1
     np.savez(path, **arrays, **{k: np.asarray(v) for k, v in meta.items()})
 
 
@@ -390,6 +415,8 @@ def load_weights(path: str):
                 spec_kwargs[field] = str(value)
             elif field == "bn_momentum":
                 spec_kwargs[field] = float(value)
+            elif field == "proj_from_raw":
+                spec_kwargs[field] = bool(int(value))
             else:
                 spec_kwargs[field] = int(value)
         else:

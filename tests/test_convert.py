@@ -68,7 +68,7 @@ def fake_torch_checkpoint():
         _bottleneck_to_torch(sd, params, stats, name, f"layer{i}.0")
     for s in range(SPEC.num_stacks):
         for level in range(SPEC.depth):
-            d = SPEC.depth - level
+            d = level + 1  # canonical: hg[0] = innermost (see convert_torch)
             for slot, flax_name in {
                 0: f"hg{s}/skip_d{d}_0",
                 1: f"hg{s}/down_d{d}_0",
