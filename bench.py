@@ -363,7 +363,36 @@ def bench_bundle_adjust():
     return timings
 
 
+def _tpu_relay_dead() -> bool:
+    """The axon TPU tunnel is a local stdio relay; when it dies every TPU
+    client blocks forever in connect-retry (observed round 3: the driver
+    bench crashed opaquely after the relay died mid-campaign).  Probe the
+    relay port so a dead backend yields a FAST, explicit artifact instead
+    of a hang or an opaque stack."""
+    import socket
+
+    if os.environ.get("DF3D_BENCH_SKIP_RELAY_PROBE"):
+        return False
+    try:
+        with socket.create_connection(("127.0.0.1", 8082), timeout=5):
+            return False
+    except OSError:
+        return True
+
+
 def main():
+    if _tpu_relay_dead():
+        print(json.dumps({
+            "metric": "7-cam frames/sec/chip (TPU UNREACHABLE — axon "
+                      "relay port 8082 refused; no measurement possible "
+                      "this run)",
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+            "error": "axon relay down (see memory tpu-axon-quirks); "
+                     "last driver-verified headline: BENCH_r02",
+        }))
+        raise SystemExit(1)
     devices = jax.devices()
     calib_path = os.path.join(ROOT, "data", "calib.pkl")
     with open(calib_path, "rb") as f:
