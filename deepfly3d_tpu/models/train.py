@@ -37,6 +37,7 @@ def render_target_heatmaps(
     known: np.ndarray,             # (N, K) bool — coords valid
     heatmap_shape: Tuple[int, int],
     sigma: float = 1.5,
+    subpixel: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Gaussian target heatmaps with peak == confidence target.
 
@@ -45,21 +46,39 @@ def render_target_heatmaps(
     (e.g. the middle camera's predictions are discarded by the reference
     postprocess, core.py:190-191, yet their confidences are kept).
     Returns (heatmaps (N, H, W, K), peak_cells (N, K, 2) int).
+
+    ``subpixel=False`` (the fly golden contract) centers each Gaussian ON
+    the rounded argmax cell — sub-cell position is deliberately quantized
+    away because the golden 2D points live exactly on the heatmap grid.
+    ``subpixel=True`` centers the Gaussian at the TRUE real-valued
+    position and rescales so the value at the rounded cell (the discrete
+    max) still equals ``peak_values`` — the peak/max losses stay
+    consistent, and decode_softargmax can recover sub-cell position from
+    the trained maps (without this, soft-argmax can only ever refine back
+    to the quantized cell center).
     """
     H, W = heatmap_shape
     N, K = peak_values.shape
-    rows = np.where(known, np.round(coords_rowcol[..., 0] * H), H // 2).astype(int)
-    cols = np.where(known, np.round(coords_rowcol[..., 1] * W), W // 2).astype(int)
-    rows = np.clip(rows, 0, H - 1)
-    cols = np.clip(cols, 0, W - 1)
+    rows_f = np.where(known, coords_rowcol[..., 0] * H, float(H // 2))
+    cols_f = np.where(known, coords_rowcol[..., 1] * W, float(W // 2))
+    rows = np.clip(np.round(rows_f).astype(int), 0, H - 1)
+    cols = np.clip(np.round(cols_f).astype(int), 0, W - 1)
+    if not subpixel:
+        rows_f, cols_f = rows.astype(np.float64), cols.astype(np.float64)
     yy = np.arange(H)[:, None]
     xx = np.arange(W)[None, :]
     hm = np.zeros((N, H, W, K), dtype=np.float32)
+    # scale so the discrete max (at the rounded cell, the grid point
+    # nearest the center) equals peak_values exactly
+    at_cell = np.exp(
+        -0.5 * ((rows - rows_f) ** 2 + (cols - cols_f) ** 2) / sigma**2
+    )
+    amp = peak_values / np.maximum(at_cell, 1e-12)
     for n in range(N):
-        d2 = (yy[None] - rows[n][:, None, None]) ** 2 + (
-            xx[None] - cols[n][:, None, None]
+        d2 = (yy[None] - rows_f[n][:, None, None]) ** 2 + (
+            xx[None] - cols_f[n][:, None, None]
         ) ** 2  # (K, H, W)
-        g = np.exp(-0.5 * d2 / sigma**2) * peak_values[n][:, None, None]
+        g = np.exp(-0.5 * d2 / sigma**2) * amp[n][:, None, None]
         hm[n] = g.transpose(1, 2, 0)
     return hm, np.stack([rows, cols], axis=-1)
 

@@ -176,3 +176,47 @@ class TestGoldenRecording:
         assert np.abs(
             p38 - golden["points2d"]
         ).max() <= 0.02 + 0.5 / 64 + 1e-6
+
+
+class TestSubpixelTargets:
+    """render_target_heatmaps(subpixel=True): Gaussians centered at the
+    TRUE position (h36m recipe) — parabolic decode recovers it exactly;
+    subpixel=False stays the cell-quantized fly-golden contract."""
+
+    def test_roundtrip_exact(self):
+        from deepfly3d_tpu.models.train import render_target_heatmaps
+
+        rng = np.random.default_rng(0)
+        N, K, H, W = 5, 7, 16, 24
+        coords = rng.uniform(0.15, 0.85, (N, K, 2))
+        peaks = rng.uniform(0.8, 1.1, (N, K))
+        known = np.ones((N, K), bool)
+        hm, cells = render_target_heatmaps(
+            coords, peaks, known, (H, W), sigma=1.5, subpixel=True
+        )
+        # the discrete max sits at the rounded cell and equals the peak
+        np.testing.assert_allclose(hm.max((1, 2)), peaks, rtol=1e-6)
+        flat = hm.reshape(N, -1, K).argmax(1)
+        np.testing.assert_array_equal(flat // W, cells[..., 0])
+        np.testing.assert_array_equal(flat % W, cells[..., 1])
+        # parabolic decode recovers the true sub-cell position
+        pts, _ = decode_mod.decode_softargmax(jnp.asarray(hm))
+        err_cells = np.abs(np.asarray(pts) - coords) * [H, W]
+        assert err_cells.max() < 1e-4
+
+    def test_quantized_default_unchanged(self):
+        from deepfly3d_tpu.models.train import render_target_heatmaps
+
+        rng = np.random.default_rng(1)
+        N, K, H, W = 3, 5, 16, 24
+        coords = rng.uniform(0.15, 0.85, (N, K, 2))
+        peaks = np.ones((N, K))
+        known = np.ones((N, K), bool)
+        hm, cells = render_target_heatmaps(
+            coords, peaks, known, (H, W), sigma=1.5
+        )
+        # peak exactly 1 at exactly the rounded cell (grid-centered)
+        np.testing.assert_allclose(hm.max((1, 2)), 1.0, rtol=0)
+        got = hm[np.arange(N)[:, None], cells[..., 0], cells[..., 1],
+                 np.arange(K)[None, :]]
+        np.testing.assert_allclose(got, 1.0, rtol=0)
