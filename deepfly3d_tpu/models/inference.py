@@ -269,6 +269,7 @@ class PoseEstimator:
         batch_size: int = 8,
         num_cameras: int = 7,
         return_heatmap: bool = False,
+        chunk_images: int = 512,
     ):
         """-> (points2d (C, T, 19, 2), conf (C, T, 19, 1)), T = max_img_id + 1.
 
@@ -276,6 +277,14 @@ class PoseEstimator:
         (reference core.py:177-185), including the ``return_heatmap``
         option — when set, a third array (C, T, h, w, 19) is returned
         (flipped cameras in the flipped frame).
+
+        At most ``chunk_images`` decoded frames are resident at once (a
+        decoded 480x960 frame is ~1.3 MB, so the default bounds the
+        ingest at ~0.7 GB regardless of recording length — the video
+        path bounds itself the same way via ``chunk_frames``); with
+        ``return_heatmap`` the heatmaps themselves are O(C*T) and the
+        caller has asked for them all, so chunking only bounds the
+        decoded-frame ingest, not the returned array.
         """
         T = max_img_id + 1
         paths, cams, flips = [], [], []
@@ -287,12 +296,27 @@ class PoseEstimator:
                 )
                 cams.append(cam)
                 flips.append(cam in flip_set)
-        images = _read_images_threaded(paths)
-        out = self.infer_images(
-            images, np.asarray(flips), batch_size=batch_size,
-            return_heatmaps=return_heatmap,
-        )
-        pts, conf = out[0], out[1]
+        flips = np.asarray(flips)
+        # chunk boundaries aligned to batch_size so per-chunk padding
+        # cannot change batch contents vs the unchunked computation
+        chunk = max(chunk_images - chunk_images % batch_size, batch_size)
+        pts_parts, conf_parts, hm_parts = [], [], []
+        for lo in range(0, len(paths), chunk):
+            images = _read_images_threaded(paths[lo:lo + chunk])
+            out = self.infer_images(
+                images, flips[lo:lo + chunk], batch_size=batch_size,
+                return_heatmaps=return_heatmap,
+            )
+            pts_parts.append(out[0])
+            conf_parts.append(out[1])
+            if return_heatmap:
+                hm_parts.append(out[2])
+        pts = np.concatenate(pts_parts, axis=0)
+        conf = np.concatenate(conf_parts, axis=0)
+        if return_heatmap:
+            out = (pts, conf, np.concatenate(hm_parts, axis=0))
+        else:
+            out = (pts, conf)
         K = pts.shape[1]
         result = (
             pts.reshape(num_cameras, T, K, 2).astype(np.float64),

@@ -82,3 +82,35 @@ def test_infer_videos_chunked_matches_unchunked(tiny_checkpoint, working_videos)
                                chunk_frames=2)
     np.testing.assert_allclose(chunked[0], whole[0], atol=1e-6)
     np.testing.assert_allclose(chunked[1], whole[1], atol=1e-5)
+
+
+def test_infer_folder_chunked_matches_unchunked(tiny_checkpoint, working_images):
+    """The bounded-memory folder ingest (chunk_images) is bit-identical to
+    the single-shot path — long JPEG recordings no longer materialize
+    every decoded frame at once (the video path got the same bound in
+    round 3 via chunk_frames)."""
+    est = PoseEstimator(tiny_checkpoint, input_shape=(64, 128))
+    full = est.infer_folder(
+        working_images, [4, 5, 6], max_img_id=2, batch_size=4,
+        chunk_images=10_000,
+    )
+    chunked = est.infer_folder(
+        working_images, [4, 5, 6], max_img_id=2, batch_size=4,
+        chunk_images=5,   # forces several chunks over the 21 images,
+                          # incl. a ragged final chunk (rounds to 4)
+    )
+    np.testing.assert_array_equal(full[0], chunked[0])
+    np.testing.assert_array_equal(full[1], chunked[1])
+
+
+def test_infer_folder_chunked_heatmaps(tiny_checkpoint, working_images):
+    est = PoseEstimator(tiny_checkpoint, input_shape=(64, 128))
+    full = est.infer_folder(
+        working_images, [4, 5, 6], max_img_id=1, batch_size=4,
+        return_heatmap=True, chunk_images=10_000,
+    )
+    chunked = est.infer_folder(
+        working_images, [4, 5, 6], max_img_id=1, batch_size=4,
+        return_heatmap=True, chunk_images=4,
+    )
+    np.testing.assert_array_equal(full[2], chunked[2])
