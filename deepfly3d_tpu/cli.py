@@ -101,6 +101,13 @@ def parse_cli_args(argv=None):
                              "against the golden optimum).")
     parser.add_argument("--soft-argmax", action="store_true",
                         help="Sub-pixel heatmap decoding (off = reference-exact argmax)")
+    parser.add_argument("--ba-huber-px", type=float, default=0.0,
+                        help="Huber robustification scale for the lm "
+                             "bundle-adjustment solver, in pixels (0 = "
+                             "plain least squares, the reference's "
+                             "behavior). ~3-5x the expected inlier noise "
+                             "stops wrong-limb 2D outliers from dragging "
+                             "the extrinsics. lm solver only.")
     parser.add_argument("--checkpoint", default=None,
                         help="Override the hourglass weight file")
     parser.add_argument("--streaming", action="store_true", default=None,
@@ -204,6 +211,14 @@ def run_in_folders(args, folders) -> int:
     return 1 if errors else 0
 
 
+def _solver_kwargs(args) -> dict:
+    """Extra bundle-adjustment kwargs from CLI flags (lm solver only —
+    the parity solver takes none, matching the reference optimizer)."""
+    if args.solver == "lm" and getattr(args, "ba_huber_px", 0.0):
+        return {"huber_px": float(args.ba_huber_px)}
+    return {}
+
+
 def run(args) -> int:
     from deepfly3d_tpu.core import Core
     from deepfly3d_tpu.utils.profiling import StageTimer
@@ -248,12 +263,14 @@ def run(args) -> int:
             )
         core.save()
         with timer.stage("calibrate"):
-            core.calibrate_calc(0, core.max_img_id, solver=args.solver)
+            core.calibrate_calc(0, core.max_img_id, solver=args.solver,
+                                 **_solver_kwargs(args))
         with timer.stage("save"):
             core.save()
     else:
         with timer.stage("calibrate"):
-            core.calibrate_calc(0, core.max_img_id, solver=args.solver)
+            core.calibrate_calc(0, core.max_img_id, solver=args.solver,
+                                 **_solver_kwargs(args))
         with timer.stage("save"):
             core.save()
 

@@ -332,8 +332,12 @@ class Core:
         min_img_id: int = 0,
         max_img_id: int = 10**9,
         solver: str = "parity",
+        **solver_kwargs,
     ):
-        """Bundle-adjust extrinsics from the calib prior (reference core.py:229-250)."""
+        """Bundle-adjust extrinsics from the calib prior (reference core.py:229-250).
+
+        ``solver_kwargs`` flow to ops.bundle_adjust (lm solver extras:
+        ``huber_px`` robustification, ``max_iters``)."""
         import pickle
 
         with open(self.config.calib_prior_path, "rb") as f:
@@ -349,6 +353,7 @@ class Core:
                 update_intrinsic=False,
                 update_distort=False,
                 solver=solver,
+                **solver_kwargs,
             )
         self.calib = result.calib
         self._invalidate_downstream()

@@ -221,22 +221,42 @@ def _residual_grid(cams, pts, K, dist, obs, mask,
 
 
 def _cost(cams, pts, K, dist, obs, mask,
-          update_intrinsic=False, update_distort=False):
+          update_intrinsic=False, update_distort=False, huber_delta=0.0):
     r = _residual_grid(cams, pts, K, dist, obs, mask,
                        update_intrinsic, update_distort)
+    if huber_delta and huber_delta > 0:
+        # Huber ρ on the per-observation 2-norm: quadratic inside δ,
+        # linear outside — gross outliers stop steering the solve
+        s = jnp.sqrt(jnp.sum(r * r, axis=-1) + 1e-30)      # (C,N)
+        rho = jnp.where(
+            s <= huber_delta,
+            0.5 * s * s,
+            huber_delta * (s - 0.5 * huber_delta),
+        )
+        return jnp.sum(rho)
     return 0.5 * jnp.sum(r * r)
 
 
 @partial(
     jax.jit,
-    static_argnames=("max_iters", "update_intrinsic", "update_distort"),
+    static_argnames=(
+        "max_iters", "update_intrinsic", "update_distort", "huber_delta",
+    ),
 )
 def _lm_solve(cams0, pts0, K, dist, obs, mask, max_iters: int = 30,
-              update_intrinsic: bool = False, update_distort: bool = False):
+              update_intrinsic: bool = False, update_distort: bool = False,
+              huber_delta: float = 0.0):
     """Schur-complement Levenberg–Marquardt.
 
     cams0 (C,P) with P = cam_param_size(...), pts0 (N,3), obs (C,N,2),
     mask (C,N) float.  Returns (cams, pts, cost0, cost, iters).
+
+    ``huber_delta`` (pixels, 0 = plain least squares) robustifies the
+    solve by IRLS: each iteration reweights observations by the Huber
+    weight min(1, δ/||r||) applied to residuals AND Jacobians (sqrt-
+    weighted), and step acceptance compares the true Huber objective —
+    gross 2D outliers (wrong-limb detections) stop dragging the
+    extrinsics while inliers keep full least-squares efficiency.
     """
     C = cams0.shape[0]
     P = cams0.shape[1]
@@ -265,6 +285,14 @@ def _lm_solve(cams0, pts0, K, dist, obs, mask, max_iters: int = 30,
     def step(cams, pts, lam):
         r = _residual_grid(cams, pts, K, dist, obs, mask, *flags)  # (C,N,2)
         jc, jp = jacobians(cams, pts)
+        if huber_delta and huber_delta > 0:
+            # IRLS: sqrt-Huber-weight residuals and Jacobians (masked
+            # observations have r == 0 -> weight 1, harmless)
+            s = jnp.sqrt(jnp.sum(r * r, axis=-1) + 1e-30)  # (C,N)
+            sw = jnp.sqrt(jnp.where(s > huber_delta, huber_delta / s, 1.0))
+            r = r * sw[..., None]
+            jc = jc * sw[..., None, None]
+            jp = jp * sw[..., None, None]
         # normal-equation blocks
         U = jnp.einsum("cnri,cnrj->cij", jc, jc)           # (C,P,P)
         V = jnp.einsum("cnri,cnrj->nij", jp, jp)           # (N,3,3)
@@ -300,12 +328,14 @@ def _lm_solve(cams0, pts0, K, dist, obs, mask, max_iters: int = 30,
         )
         return cams + delta_c, pts + delta_p
 
-    cost0 = _cost(cams0, pts0, K, dist, obs, mask, *flags)
+    cost0 = _cost(cams0, pts0, K, dist, obs, mask, *flags,
+                  huber_delta=huber_delta)
 
     def body(state):
         cams, pts, lam, cost, it, done = state
         new_cams, new_pts = step(cams, pts, lam)
-        new_cost = _cost(new_cams, new_pts, K, dist, obs, mask, *flags)
+        new_cost = _cost(new_cams, new_pts, K, dist, obs, mask, *flags,
+                         huber_delta=huber_delta)
         accept = new_cost < cost
         rel_drop = (cost - new_cost) / jnp.maximum(cost, 1e-30)
         cams = jnp.where(accept, new_cams, cams)
@@ -328,6 +358,7 @@ def _lm_solve(cams0, pts0, K, dist, obs, mask, max_iters: int = 30,
 def _bundle_adjust_lm(
     points2d_rowcol, calib_prior, image_shape, update_intrinsic, update_distort,
     max_iters: int = 30,
+    huber_px: float = 0.0,
 ) -> BundleAdjustResult:
     C, R0, t0, K, dist, pts0, obs, mask = _prepare(
         points2d_rowcol, calib_prior, image_shape
@@ -347,6 +378,7 @@ def _bundle_adjust_lm(
         max_iters=max_iters,
         update_intrinsic=update_intrinsic,
         update_distort=update_distort,
+        huber_delta=float(huber_px),
     )
     cams = np.asarray(cams)
     R_out, K_out, d_out = [], [], []
@@ -387,6 +419,11 @@ def bundle_adjust(
 
     points2d_rowcol: (C, T, J, 2) normalized (row, col); zeros / col==1 are
     treated as unobserved (reference flip artifact, core.py:198-200).
+
+    solver="lm" extras (kwargs): ``max_iters``; ``huber_px`` — Huber
+    robustification scale in pixels (0 = plain least squares, the
+    reference's behavior).  Use ~3-5x the expected inlier noise so
+    wrong-limb 2D detections stop dragging the extrinsics.
     """
     if solver == "parity":
         return _bundle_adjust_parity(

@@ -199,3 +199,66 @@ class TestLMSolver:
             max_iters=40,
         )
         assert float(cost) < 1e-10 * max(float(cost0), 1.0)
+
+
+class TestHuberRobustLM:
+    """huber_px robustification (IRLS in the Schur-complement LM): gross
+    2D outliers stop dragging the solution, inliers keep least-squares
+    efficiency.  The reference's optimizer has no robust loss — this is
+    a TPU-native extra, exposed as bundle_adjust(huber_px=) and CLI
+    --ba-huber-px."""
+
+    def _problem(self, outlier_frac=0.1, seed=0):
+        rng = np.random.default_rng(seed)
+        C, N = 4, 80
+        pts_true = rng.normal(size=(N, 3)) * 0.3
+        K = np.tile(
+            np.array([[800.0, 0, 320], [0, 800.0, 240], [0, 0, 1]]),
+            (C, 1, 1),
+        )
+        dist = np.zeros((C, 5))
+        cams_true, obs = [], np.zeros((C, N, 2))
+        for c in range(C):
+            rvec = rng.normal(size=3) * 0.1 + np.array([0, 0.4 * c, 0])
+            tvec = np.array([0.0, 0.0, 8.0]) + rng.normal(size=3) * 0.05
+            cams_true.append(np.concatenate([rvec, tvec]))
+            R = np.asarray(geometry.rodrigues(jnp.asarray(rvec)))
+            obs[c] = np.asarray(geometry.project(
+                jnp.asarray(pts_true), jnp.asarray(R), jnp.asarray(tvec),
+                jnp.asarray(K[c]), jnp.asarray(dist[c]),
+            ))
+        obs += rng.normal(size=obs.shape) * 0.5          # ~0.5 px inliers
+        n_out = int(outlier_frac * C * N)
+        oc = rng.integers(0, C, n_out)
+        on = rng.integers(0, N, n_out)
+        obs[oc, on] += rng.normal(size=(n_out, 2)) * 80  # gross outliers
+        cams0 = np.stack(cams_true) + rng.normal(size=(C, 6)) * 0.01
+        pts0 = pts_true + rng.normal(size=(N, 3)) * 0.02
+        return cams_true, pts_true, cams0, pts0, K, dist, obs
+
+    def _solve(self, prob, huber):
+        cams_true, pts_true, cams0, pts0, K, dist, obs = prob
+        C, N = obs.shape[:2]
+        cams, pts, cost0, cost, iters = bundle_adjust._lm_solve(
+            jnp.asarray(cams0), jnp.asarray(pts0), jnp.asarray(K),
+            jnp.asarray(dist), jnp.asarray(obs), jnp.ones((C, N)),
+            max_iters=60, huber_delta=huber,
+        )
+        # camera-parameter error vs truth (rvec+tvec stacked)
+        return float(np.abs(np.asarray(cams) - np.stack(cams_true)).max())
+
+    def test_outliers_corrupt_plain_lm_but_not_huber(self):
+        prob = self._problem()
+        err_plain = self._solve(prob, 0.0)
+        err_huber = self._solve(prob, 2.0)
+        # plain LS is dragged by the 80px outliers; Huber stays near truth
+        # (the absolute bound is loose: the solve has a global gauge
+        # freedom, so parameter-space distance to truth is approximate)
+        assert err_huber < err_plain / 3, (err_plain, err_huber)
+        assert err_huber < 0.08, err_huber
+
+    def test_huber_matches_plain_on_clean_data(self):
+        prob = self._problem(outlier_frac=0.0)
+        err_plain = self._solve(prob, 0.0)
+        err_huber = self._solve(prob, 5.0)
+        assert abs(err_huber - err_plain) < 5e-3, (err_plain, err_huber)
