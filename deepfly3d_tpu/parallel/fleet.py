@@ -51,13 +51,15 @@ def process_recordings(
     num_images_max: int = 0,
     save: bool = True,
     camera_ordering: Optional[Sequence[int]] = None,
+    **solver_kwargs,
 ) -> List[RecordingResult]:
     """Process N recordings with one shared inference dispatch.
 
     ``mesh``: optional `jax.sharding.Mesh` — images shard across its
     devices (padded to a device multiple); without it the single-device
     batched path is used.  ``solver``: "lm" (TPU-native, default for
-    fleets) or "parity".
+    fleets) or "parity"; extra ``solver_kwargs`` (e.g. ``huber_px``)
+    flow to ops.bundle_adjust per recording.
     """
     import jax.numpy as jnp
 
@@ -159,7 +161,7 @@ def process_recordings(
                 pts19, core.camera_ordering, cfg.num_joints
             )
             core.conf = conf
-            core.calibrate_calc(0, T - 1, solver=solver)
+            core.calibrate_calc(0, T - 1, solver=solver, **solver_kwargs)
             if save:
                 core.save()
                 rec.save_path = core.save_path
