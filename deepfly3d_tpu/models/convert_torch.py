@@ -206,3 +206,63 @@ def convert_checkpoint(path: str, spec: HourglassSpec, strict: bool = True):
     sd = load_torch_state_dict(path)
     params, stats = convert_state_dict(sd, spec, strict=strict)
     return {"params": params, "batch_stats": stats}
+
+
+def main(argv=None) -> int:
+    """CLI: ``python -m deepfly3d_tpu.models.convert_torch IN.tar OUT.npz``.
+
+    Architecture flags must match the checkpoint (strict mode lists every
+    unmapped tensor on mismatch).  Defaults target the df2d sh8 lineage;
+    ``proj_from_raw`` is forced True — canonical torch Bottlenecks project
+    the raw block input (see module docstring).
+    """
+    import argparse
+
+    from deepfly3d_tpu.models.hourglass import save_weights
+
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("torch_ckpt", help="torch checkpoint (.tar/.pth)")
+    p.add_argument("out_npz", help="output flax checkpoint (.npz)")
+    p.add_argument("--stacks", type=int, default=2)
+    p.add_argument("--features", type=int, default=256)
+    p.add_argument("--depth", type=int, default=4)
+    p.add_argument("--classes", type=int, default=19)
+    p.add_argument("--input-shape", type=int, nargs=2, default=(256, 512),
+                   metavar=("H", "W"),
+                   help="training resolution recorded in the checkpoint")
+    p.add_argument("--lenient", action="store_true",
+                   help="skip (do not fail on) unmapped tensors")
+    args = p.parse_args(argv)
+
+    spec = HourglassSpec(
+        num_stacks=args.stacks, features=args.features, depth=args.depth,
+        num_blocks=1, num_classes=args.classes, stem="conv",
+        input_shape=tuple(args.input_shape), proj_from_raw=True,
+    )
+    variables = convert_checkpoint(
+        args.torch_ckpt, spec, strict=not args.lenient
+    )
+    save_weights(args.out_npz, variables, spec)
+    n = sum(
+        np.asarray(v).size
+        for tree in variables.values()
+        for v in _iter_leaves(tree)
+    )
+    print(f"converted {args.torch_ckpt} -> {args.out_npz} "
+          f"({n/1e6:.2f} M params+stats, spec={spec.num_stacks}s-"
+          f"f{spec.features}-d{spec.depth}, proj_from_raw=True)")
+    return 0
+
+
+def _iter_leaves(tree):
+    for v in tree.values():
+        if isinstance(v, dict):
+            yield from _iter_leaves(v)
+        else:
+            yield v
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
