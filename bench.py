@@ -204,6 +204,12 @@ def load_probe_frames():
       honest uncalibrated parity checkpoint itself measures ~0.0029
       (weights/hourglass_fly.npz.envelope.json).
 
+    Calibrated checkpoints may train on q85/q75 recompression
+    (calibrate_score_head --augment-recompress — the measured fix after
+    the round-4 run demoted every clean-only-calibrated config on these
+    probes), but NEVER on the probe transforms themselves: the video
+    re-encode pipeline and quality 90 stay held out.
+
     Returns {name: (frames (15,7,H,W,3) u8, pts_tol, conf_tol_or_None)}.
     """
     import shutil
@@ -565,6 +571,18 @@ def main():
                 "error": f"{type(e).__name__}: {e}"[:300],
             }))
             continue
+        finally:
+            # Drop this candidate's compiled programs and device buffers
+            # before the next one compiles: without this, HBM fills up
+            # across the ladder scan and the late f32 candidates die with
+            # RESOURCE_EXHAUSTED even though each fits alone (measured
+            # round 4: parity f32 ran at its usual 350 fps, the two
+            # precision variants after it OOMed).
+            pipeline = None
+            import gc
+
+            gc.collect()
+            jax.clear_caches()
         rec = {
             "label": label, "fps": fps, "pts_err": pts_err,
             "conf_err": conf_err, "passes": passes, "mfu": mfu,

@@ -103,9 +103,36 @@ def embed_score_3x3(variables, spec):
     return dict(variables, params=params), new_spec
 
 
-def extract_features(variables, spec, input_shape):
+def recompress_images(images_u8, quality):
+    """cv2 JPEG re-encode of a (N, H, W, 3) RGB uint8 stack at ``quality``."""
+    import cv2
+
+    out = np.empty_like(images_u8)
+    for i, im in enumerate(images_u8):
+        out[i] = cv2.imdecode(
+            cv2.imencode(".jpg", im[:, :, ::-1],
+                         [cv2.IMWRITE_JPEG_QUALITY, int(quality)])[1],
+            cv2.IMREAD_COLOR,
+        )[:, :, ::-1]
+    return out
+
+
+def extract_features(variables, spec, input_shape, augment_qualities=()):
     """Deployed-forward features entering the LAST score conv, plus the
-    current heatmaps, for the 105 golden images (cam-major order)."""
+    current heatmaps, for the 105 golden images (cam-major order).
+
+    ``augment_qualities``: extra JPEG-recompression qualities; each adds a
+    full 105-image copy (same golden cells/targets) so the downstream fit
+    must hold its peaks and argmax repairs ACROSS input perturbation —
+    the anti-overfit measure behind bench.py's held-out probe gate.  The
+    probe transforms themselves (video re-encode via expand_videos and
+    jpeg q90) are deliberately NOT in the augmentation menu: they stay
+    held out.
+
+    Returns (feat_dev (S*105,h,w,F), heat (S*105,H,W,K) f64, golden,
+    image_sets: list of S uint8 (105,480,960,3) arrays cam-major,
+    clean first).
+    """
     from deepfly3d_tpu.models.inference import _read_images_threaded
     from deepfly3d_tpu.ops import image as image_ops
 
@@ -119,7 +146,10 @@ def extract_features(variables, spec, input_shape):
         for t in range(T_GOLD):
             paths.append(os.path.join(IMAGES, f"camera_{cam}_img_{t}.jpg"))
             flips.append(flip_mask[cam])
-    images = jnp.asarray(_read_images_threaded(paths))
+    clean = _read_images_threaded(paths)
+    image_sets = [clean] + [
+        recompress_images(clean, q) for q in augment_qualities
+    ]
     flips_d = jnp.asarray(np.asarray(flips))
 
     model = HourglassNet(spec)
@@ -139,8 +169,14 @@ def extract_features(variables, spec, input_shape):
         feat = jax.nn.relu(bn_out).astype(jnp.float32)
         return feat, out[-1].astype(jnp.float32)
 
-    feat, heat = jax.block_until_ready(fn(images, flips_d))
-    return feat, np.asarray(heat, np.float64), golden
+    feats, heats = [], []
+    for imgs in image_sets:
+        f_d, h_d = jax.block_until_ready(fn(jnp.asarray(imgs), flips_d))
+        feats.append(f_d)
+        heats.append(np.asarray(h_d, np.float64))
+    feat = jnp.concatenate(feats, 0) if len(feats) > 1 else feats[0]
+    heat = np.concatenate(heats, 0)
+    return feat, heat, golden, image_sets
 
 
 def neighborhood_rows(feat_np, n, cells):
@@ -476,7 +512,16 @@ def main():
                          "the fit absorbs the (deterministic) extra "
                          "rounding, buying back the ~9x-FLOP 3x3 head's "
                          "precision cost")
+    ap.add_argument("--augment-recompress", default="",
+                    help="comma-separated JPEG qualities (e.g. '85,75'); "
+                         "each adds a recompressed copy of the 105 golden "
+                         "images to the fit so peaks and argmax repairs "
+                         "must hold across input perturbation — the "
+                         "measured fix for bench.py's held-out probe "
+                         "gate (the probe transforms themselves — video "
+                         "re-encode, jpeg q90 — are never fit on)")
     args = ap.parse_args()
+    aug_q = [int(q) for q in args.augment_recompress.split(",") if q]
 
     variables, spec0 = load_weights(args.ckpt_in)
     dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -490,13 +535,19 @@ def main():
     input_shape = tuple(spec.input_shape or (256, 512))
     S = spec.num_stacks
 
-    feat_dev, heat, golden = extract_features(variables, spec, input_shape)
-    feat_np = np.asarray(feat_dev, np.float64)
+    feat_dev, heat, golden, image_sets = extract_features(
+        variables, spec, input_shape, augment_qualities=aug_q)
+    n_sets = len(image_sets)
+    # f32 is the features' native precision (the forward computes them in
+    # f32); f64 here only doubled host RAM, which matters at n_sets x 105
+    feat_np = np.asarray(feat_dev, np.float32)
     gold_conf = np.asarray(golden["heatmap_confidence"], np.float64)
     N, H, Wd, K = heat.shape                  # full-res decode grid
     u = spec.head_upsample
-    targets0 = gold_conf.reshape(NUM_CAMERAS * T_GOLD, K)
-    gcells = golden_cells(golden, H, Wd)      # (N, K), -1 = free
+    targets0 = np.tile(
+        gold_conf.reshape(NUM_CAMERAS * T_GOLD, K), (n_sets, 1))
+    gcells = np.tile(
+        golden_cells(golden, H, Wd), (n_sets, 1))   # (N, K), -1 = free
 
     kernel = np.asarray(variables["params"][f"score{S-1}"]["kernel"],
                         np.float64)                        # (3,3,F,K*u*u)
@@ -518,8 +569,33 @@ def main():
         calib_dict = pickle.load(f)
     calib = geometry.calib_to_arrays(calib_dict, NUM_CAMERAS,
                                      dtype=np.float32)
-    golden_frames, _ = bench_mod.load_golden_frames()
     order = np.asarray(golden["camera_ordering"])
+    # (T, C, H, W, 3) device-resident frame stacks per image set — the
+    # deployed-measurement inputs.  Set 0 IS the golden recording (the
+    # images were read through the same loader bench uses); device_put
+    # once so the 6 outers don't re-upload ~145MB/set through the tunnel.
+    frames_dev = [
+        jax.device_put(
+            imgs.reshape(NUM_CAMERAS, T_GOLD, *imgs.shape[1:])
+            .transpose(1, 0, 2, 3, 4)
+        )
+        for imgs in image_sets
+    ]
+    golden_frames = frames_dev[0]
+    # When augmenting, the held-out probe gate is measured EVERY outer and
+    # gates keep-best: a config that holds golden-clean but loses a probe
+    # is exactly the overfit this augmentation exists to prevent.
+    probes_dev = None
+    if aug_q:
+        try:
+            probes_dev = {
+                name: (jax.device_put(frames), pt, ct)
+                for name, (frames, pt, ct)
+                in bench_mod.load_probe_frames().items()
+            }
+        except Exception as e:                       # noqa: BLE001
+            print(f"probe construction failed ({e}); gating on the "
+                  f"clean contract only", flush=True)
 
     fit_targets = targets0.copy()
     best = None                     # (conf_err, vars) of best PASSING config
@@ -544,16 +620,36 @@ def main():
         print(f"outer {outer}: DEPLOYED pts_err={pts_err:.5f} "
               f"conf_err={conf_err:.5f} -> "
               f"{'PASS' if passes else 'fail'}", flush=True)
+        if passes and probes_dev is not None:
+            report, probes_pass = bench_mod.verify_probes(
+                pipeline, probes_dev, golden)
+            print(f"outer {outer}: probes "
+                  f"{'PASS' if probes_pass else 'FAIL'}: {report}",
+                  flush=True)
+            passes = passes and probes_pass
         if passes and (best is None or (conf_err, pts_err) < best[0]):
             best = ((conf_err, pts_err), new_vars)
-        if passes and conf_err <= 0.0013:    # ~35% margin: good enough
+            # save IMMEDIATELY: an outer costs ~10 TPU-minutes and the
+            # campaign runs under a wall-clock kill — a passing config on
+            # disk beats a marginally better one lost to a timeout
+            save_weights(args.ckpt_out, new_vars, spec)
+            print(f"saved passing config: {args.ckpt_out} "
+                  f"(conf_err={conf_err:.5f})", flush=True)
+        if passes:
+            # any full passer (golden contract + held-out probes when
+            # gating) is deployable; chasing extra conf margin costs
+            # outers without changing the bench gate's verdict
             break
-        # measure deployed conf and shift the fit targets by the delta
-        _, _, conf_dep = jax.block_until_ready(
-            pipeline(jnp.asarray(golden_frames)))
-        conf_dep = np.asarray(conf_dep, np.float64)
-        conf_dep = conf_dep.reshape(NUM_CAMERAS * T_GOLD, K)
-        fit_targets = fit_targets - args.damping * (conf_dep - targets0)
+        # measure deployed conf on every image set and shift that set's
+        # fit targets by its own delta
+        deltas = []
+        for s in range(n_sets):
+            _, _, conf_dep = jax.block_until_ready(
+                pipeline(frames_dev[s]))
+            conf_dep = np.asarray(conf_dep, np.float64)
+            deltas.append(conf_dep.reshape(NUM_CAMERAS * T_GOLD, K))
+        conf_dep_all = np.concatenate(deltas, 0)
+        fit_targets = fit_targets - args.damping * (conf_dep_all - targets0)
 
     if best is None:
         print("calibration did NOT converge to a passing config",
