@@ -659,19 +659,51 @@ def main():
         return
 
     if official is None:
-        # nothing passed — report the closest config, flagged honestly
-        best = min(results, key=lambda r: max(
-            r["pts_err"] / 0.02, r["conf_err"] / 0.002))
-        line = {
-            "metric": "7-cam frames/sec/chip (2D hourglass + DLT 3D, "
-                      f"e2e jitted; {best['label']}; DOES NOT hold the "
-                      "golden contract this run)",
-            "value": round(best["fps"], 2),
-            "unit": "frames/s",
-            "vs_baseline": round(best["fps"] / BASELINE_FPS, 4),
-            "pts_err": round(best["pts_err"], 5),
-            "conf_err": round(best["conf_err"], 5),
-        }
+        # Nothing passed the FULL gate.  Two distinct honest outcomes:
+        # a clean-contract passer that fails a held-out probe (report the
+        # one CLOSEST to probe-passing — the fastest clean passer may be
+        # the most overfit, e.g. the p16 repairs blow out 5x on reencode
+        # while the parity head misses one band by 3%), or nothing even
+        # holds the clean contract.
+        def probe_margin(r):
+            # worst violation ratio across probes (<=1 would mean pass);
+            # tolerances mirror load_probe_frames
+            worst = 0.0
+            for name, v in r["probes"].items():
+                worst = max(worst, v["pts_err"] / 0.02)
+                if name == "reencode":
+                    worst = max(worst, v["conf_err"] / 0.006)
+            return worst
+        clean = [r for r in results if r["clean_pass"] and r["probes"]]
+        if clean:
+            best = min(clean, key=lambda r: (probe_margin(r), -r["fps"]))
+            failed = [k for k, v in best["probes"].items() if not v["pass"]]
+            line = {
+                "metric": "7-cam frames/sec/chip (2D hourglass + DLT 3D, "
+                          f"e2e jitted; {best['label']}; golden contract "
+                          "verified in-run: pts<=0.02, conf<=0.002 — but "
+                          f"FAILS held-out probe(s) {failed}: headline "
+                          "not probe-verified this run)",
+                "value": round(best["fps"], 2),
+                "unit": "frames/s",
+                "vs_baseline": round(best["fps"] / BASELINE_FPS, 4),
+                "pts_err": round(best["pts_err"], 5),
+                "conf_err": round(best["conf_err"], 5),
+                "probes": best["probes"],
+            }
+        else:
+            best = min(results, key=lambda r: max(
+                r["pts_err"] / 0.02, r["conf_err"] / 0.002))
+            line = {
+                "metric": "7-cam frames/sec/chip (2D hourglass + DLT 3D, "
+                          f"e2e jitted; {best['label']}; DOES NOT hold "
+                          "the golden contract this run)",
+                "value": round(best["fps"], 2),
+                "unit": "frames/s",
+                "vs_baseline": round(best["fps"] / BASELINE_FPS, 4),
+                "pts_err": round(best["pts_err"], 5),
+                "conf_err": round(best["conf_err"], 5),
+            }
         if best["mfu"] is not None:
             line["mfu"] = round(best["mfu"], 4)
         print(json.dumps(line))
