@@ -501,8 +501,10 @@ def main():
     candidates.append(("parity bf16", parity_cfg(jnp.bfloat16, None), 128))
     candidates += [
         ("parity f32", parity_cfg(jnp.float32, None), 64),
-        ("parity f32/tf32-3pass", parity_cfg(jnp.float32, "tensorfloat32"), 64),
-        ("parity f32/highest", parity_cfg(jnp.float32, "float32"), 64),
+        # the multi-pass precision pins allocate extra f32 pass buffers:
+        # T=64 RESOURCE_EXHAUSTEDs on the 16G chip (measured r4), T=32 fits
+        ("parity f32/tf32-3pass", parity_cfg(jnp.float32, "tensorfloat32"), 32),
+        ("parity f32/highest", parity_cfg(jnp.float32, "float32"), 32),
     ]
 
     try:
