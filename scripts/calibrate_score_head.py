@@ -520,6 +520,11 @@ def main():
                          "measured fix for bench.py's held-out probe "
                          "gate (the probe transforms themselves — video "
                          "re-encode, jpeg q90 — are never fit on)")
+    ap.add_argument("--targets-cache", default="",
+                    help="npz path persisting the outer loop's shifted "
+                         "conf targets; a restarted run resumes from it "
+                         "instead of recomputing ~35-min outers from "
+                         "scratch (wall-clock-kill insurance)")
     args = ap.parse_args()
     aug_q = [int(q) for q in args.augment_recompress.split(",") if q]
 
@@ -598,6 +603,21 @@ def main():
                   f"clean contract only", flush=True)
 
     fit_targets = targets0.copy()
+    # An outer costs ~35 min on a 1-core host (the per-joint constrained
+    # fits) and campaigns run under wall-clock kills: persist the shifted
+    # targets each outer so a restarted run resumes the outer loop instead
+    # of recomputing it from scratch.
+    tcache = args.targets_cache
+    if tcache and os.path.exists(tcache):
+        cached = np.load(tcache)["fit_targets"]
+        if cached.shape == fit_targets.shape:
+            fit_targets = cached
+            print(f"resumed fit targets from {tcache} "
+                  f"(max shift {np.abs(fit_targets - targets0).max():.5f})",
+                  flush=True)
+        else:
+            print(f"targets cache {tcache} shape {cached.shape} != "
+                  f"{fit_targets.shape} — ignored", flush=True)
     best = None                     # (conf_err, vars) of best PASSING config
     check = make_device_check(feat_dev, u)
     gram = compute_gram(feat_dev)
@@ -650,6 +670,9 @@ def main():
             deltas.append(conf_dep.reshape(NUM_CAMERAS * T_GOLD, K))
         conf_dep_all = np.concatenate(deltas, 0)
         fit_targets = fit_targets - args.damping * (conf_dep_all - targets0)
+        if tcache:
+            np.savez(tcache, fit_targets=fit_targets)
+            print(f"cached shifted targets -> {tcache}", flush=True)
 
     if best is None:
         print("calibration did NOT converge to a passing config",
