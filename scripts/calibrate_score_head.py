@@ -619,6 +619,7 @@ def main():
             print(f"targets cache {tcache} shape {cached.shape} != "
                   f"{fit_targets.shape} — ignored", flush=True)
     best = None                     # (conf_err, vars) of best PASSING config
+    best_clean = None               # best clean-contract-only (probe-failed)
     check = make_device_check(feat_dev, u)
     gram = compute_gram(feat_dev)
     for outer in range(6):
@@ -640,6 +641,7 @@ def main():
         print(f"outer {outer}: DEPLOYED pts_err={pts_err:.5f} "
               f"conf_err={conf_err:.5f} -> "
               f"{'PASS' if passes else 'fail'}", flush=True)
+        clean_passes = passes
         if passes and probes_dev is not None:
             report, probes_pass = bench_mod.verify_probes(
                 pipeline, probes_dev, golden)
@@ -647,6 +649,18 @@ def main():
                   f"{'PASS' if probes_pass else 'FAIL'}: {report}",
                   flush=True)
             passes = passes and probes_pass
+        if (clean_passes and not passes
+                and (best_clean is None
+                     or (conf_err, pts_err) < best_clean)):
+            # clean-contract passer that lost a probe: not deployable as
+            # the headline, but worth keeping — a 3h campaign that never
+            # clears the probe gate should still leave its best
+            # clean-passing fit on disk for diagnosis/iteration
+            best_clean = (conf_err, pts_err)
+            fallback = args.ckpt_out + ".cleanonly.npz"
+            save_weights(fallback, new_vars, spec)
+            print(f"saved clean-only fallback: {fallback} "
+                  f"(conf_err={conf_err:.5f})", flush=True)
         if passes and (best is None or (conf_err, pts_err) < best[0]):
             best = ((conf_err, pts_err), new_vars)
             # save IMMEDIATELY: an outer costs ~10 TPU-minutes and the
