@@ -533,8 +533,10 @@ def main():
         if not measure_all and seen_pass and extra_after_pass <= 0:
             break
         # DF3D_BENCH_T only applies where it does not EXCEED the
-        # candidate's default T — the f32 configs are pinned to T=64
-        # because T=128 f32 activations exceed the chip's HBM
+        # candidate's default T — plain f32 is pinned to T=64 (T=128 f32
+        # activations exceed the chip's HBM) and the multi-pass-precision
+        # f32 variants to T=32 (their extra pass buffers OOM at T=64,
+        # measured r4)
         T = T_default
         if os.environ.get("DF3D_BENCH_T"):
             T = min(int(os.environ["DF3D_BENCH_T"]), T_default)
