@@ -204,11 +204,33 @@ def load_probe_frames():
       honest uncalibrated parity checkpoint itself measures ~0.0029
       (weights/hourglass_fly.npz.envelope.json).
 
+    * ``shift±2px`` — the golden frames rolled horizontally by ±2 px,
+      gated on POINTS at the shift-adjusted tolerance 0.02 + 2/960 (the
+      true keypoint column moves by dx/960; same bound arithmetic as
+      scripts/measure_robustness.py).  The committed envelopes showed
+      integer shift is the axis where a recording-fit checkpoint is most
+      brittle (pts 0.52 at ±2 px pre-hardening) — a probe family without
+      it invites the next calibration overfit (VERDICT r4).
+    * ``gain±5%`` — uint8 brightness scaling by 0.95/1.05, gated on
+      POINTS at 0.02; the other measured brittleness axis.
+
     Calibrated checkpoints may train on q85/q75 recompression
     (calibrate_score_head --augment-recompress — the measured fix after
     the round-4 run demoted every clean-only-calibrated config on these
-    probes), but NEVER on the probe transforms themselves: the video
-    re-encode pipeline and quality 90 stay held out.
+    probes), and hardened trunks train on ±4 px / ±5% gain / q80
+    variants (train_fly_weights --augment-envelope), but the probe
+    transforms themselves — the video re-encode pipeline, quality 90,
+    ±2 px shift — are NEVER in any fit or fine-tune menu.  The gain
+    probe values 0.95/1.05 do appear in the hardening pool (the
+    VERDICT bar names those exact magnitudes for both the probe and the
+    hardening target); position supervision there uses coordinate-true
+    targets, so passing it is the trained-for behavior, not leakage of
+    a held-out answer key.  A fly-geometry synthetic recording rendered
+    via the h36m-style generator was considered as a further probe and
+    rejected: every shipped checkpoint is a sample-recording-fit
+    detector by design (README "Weights provenance"), so a
+    different-appearance recording measures domain shift, not
+    calibration overfit — it would fail every config and gate nothing.
 
     Returns {name: (frames (15,7,H,W,3) u8, pts_tol, conf_tol_or_None)}.
     """
@@ -253,6 +275,18 @@ def load_probe_frames():
         for im in golden_frames.reshape(-1, IMAGE_H, IMAGE_W, 3)
     ]).reshape(GOLDEN_T, NUM_CAMERAS, IMAGE_H, IMAGE_W, 3)
     probes["jpeg_q90"] = (q90, 0.02, None)
+    # width is axis 3 of (T, C, H, W, 3); roll matches
+    # measure_robustness.py's translation sweep on its (N, H, W, 3) stack
+    for dx in (-2, 2):
+        probes[f"shift{dx:+d}px"] = (
+            np.roll(golden_frames, dx, axis=3), 0.02 + abs(dx) / 960.0, None
+        )
+    for gain in (0.95, 1.05):
+        probes[f"gain{gain}"] = (
+            np.clip(golden_frames.astype(np.float32) * gain, 0, 255)
+            .astype(np.uint8),
+            0.02, None,
+        )
     return probes
 
 
@@ -674,7 +708,10 @@ def main():
             # tolerances mirror load_probe_frames
             worst = 0.0
             for name, v in r["probes"].items():
-                worst = max(worst, v["pts_err"] / 0.02)
+                pts_tol = 0.02
+                if name.startswith("shift"):
+                    pts_tol = 0.02 + abs(int(name[5:-2])) / 960.0
+                worst = max(worst, v["pts_err"] / pts_tol)
                 if name == "reencode":
                     worst = max(worst, v["conf_err"] / 0.006)
             return worst

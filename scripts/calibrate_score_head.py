@@ -83,6 +83,20 @@ EPS_FLOOR = 3e-3       # min enforced peak-rival gap: must exceed the
 RIDGE = 1e-6           # relative ridge -> near-exact interpolation
 
 
+def validate_augment_qualities(aug_q):
+    """The held-out probe transforms (bench.load_probe_frames) must never
+    enter the calibration fit.  JPEG q90 is a probe transform; the other
+    probes (video re-encode, ±2 px shift, ±5% gain) are not expressible
+    in this JPEG-quality-only augmentation menu at all, which is itself
+    part of the holdout design.  tests/test_bench_probes.py pins this."""
+    if any(q == 90 for q in aug_q):
+        raise SystemExit(
+            "--augment-recompress 90 is forbidden: jpeg q90 is a held-out "
+            "probe transform (bench.load_probe_frames); fitting on it "
+            "would make the probe gate circular"
+        )
+
+
 def embed_score_3x3(variables, spec):
     """(1,1,F,K) score kernels -> (3,3,F,K) center-tap embeddings.
 
@@ -527,6 +541,7 @@ def main():
                          "scratch (wall-clock-kill insurance)")
     args = ap.parse_args()
     aug_q = [int(q) for q in args.augment_recompress.split(",") if q]
+    validate_augment_qualities(aug_q)
 
     variables, spec0 = load_weights(args.ckpt_in)
     dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -608,9 +623,24 @@ def main():
     # targets each outer so a restarted run resumes the outer loop instead
     # of recomputing it from scratch.
     tcache = args.targets_cache
+    if tcache and not tcache.endswith(".npz"):
+        # np.savez appends ".npz" to suffix-less paths: normalize up front
+        # so the written path and the resume-check path match (ADVICE r4)
+        tcache += ".npz"
+    # a stale cache from a run with a different checkpoint/deployment
+    # config must not seed this run's outer loop: the shifted targets are
+    # specific to that config's deploy-vs-cache delta (ADVICE r4)
+    cache_fp = repr((os.path.abspath(args.ckpt_in), args.dtype,
+                     args.hp_scope, args.preprocess_dtype, sorted(aug_q),
+                     args.alpha, args.damping))
     if tcache and os.path.exists(tcache):
-        cached = np.load(tcache)["fit_targets"]
-        if cached.shape == fit_targets.shape:
+        cached_npz = np.load(tcache)
+        cached = cached_npz["fit_targets"]
+        cached_fp = str(cached_npz.get("fingerprint", ""))
+        if cached_fp != cache_fp:
+            print(f"targets cache {tcache} fingerprint mismatch — ignored",
+                  flush=True)
+        elif cached.shape == fit_targets.shape:
             fit_targets = cached
             print(f"resumed fit targets from {tcache} "
                   f"(max shift {np.abs(fit_targets - targets0).max():.5f})",
@@ -657,7 +687,8 @@ def main():
             # clears the probe gate should still leave its best
             # clean-passing fit on disk for diagnosis/iteration
             best_clean = (conf_err, pts_err)
-            fallback = args.ckpt_out + ".cleanonly.npz"
+            root, ext = os.path.splitext(args.ckpt_out)
+            fallback = root + ".cleanonly" + (ext or ".npz")
             save_weights(fallback, new_vars, spec)
             print(f"saved clean-only fallback: {fallback} "
                   f"(conf_err={conf_err:.5f})", flush=True)
@@ -685,7 +716,8 @@ def main():
         conf_dep_all = np.concatenate(deltas, 0)
         fit_targets = fit_targets - args.damping * (conf_dep_all - targets0)
         if tcache:
-            np.savez(tcache, fit_targets=fit_targets)
+            np.savez(tcache, fit_targets=fit_targets,
+                     fingerprint=np.str_(cache_fp))
             print(f"cached shifted targets -> {tcache}", flush=True)
 
     if best is None:
@@ -698,6 +730,18 @@ def main():
     print(f"saved: {args.ckpt_out} (dtype={args.dtype}, "
           f"hp_scope={spec.hp_scope}, score_ksize=3, "
           f"deployed conf_err={conf_err:.5f})", flush=True)
+    # a full passer supersedes any early-outer clean-only fallback and the
+    # resume cache: leaving them around misleads post-run diagnosis
+    # (ADVICE r4)
+    root, ext = os.path.splitext(args.ckpt_out)
+    stale_fallback = root + ".cleanonly" + (ext or ".npz")
+    if os.path.exists(stale_fallback):
+        os.remove(stale_fallback)
+        print(f"removed stale clean-only fallback: {stale_fallback}",
+              flush=True)
+    if tcache and os.path.exists(tcache):
+        os.remove(tcache)
+        print(f"removed targets cache: {tcache}", flush=True)
 
     # Held-out report (ADVICE r3: the in-run golden check is the fit's own
     # training objective).  bench.py gates the official headline on these

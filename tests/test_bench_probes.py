@@ -1,0 +1,81 @@
+"""Held-out probe-family contract (VERDICT r4 item 2).
+
+The official bench headline is gated on probes the score-head
+calibration never trained on.  These tests pin the family's shape —
+at least four transforms covering the measured brittleness axes
+(re-encode, recompression, integer shift, brightness gain) — and that
+the calibration script refuses to fit on a probe transform.
+
+Importing bench has a side effect (it sets DF3D_TPU_DISABLE_X64=1 at
+module scope for its own TPU hot path); the fixture restores the
+environment so CLI subprocess tests launched later in the suite do not
+inherit a silent f32 bundle-adjust switch (the measured 0.057 points3d
+drift failure mode, scripts/calibrate_score_head.py header note).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture()
+def bench_mod():
+    had = os.environ.get("DF3D_TPU_DISABLE_X64")
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
+    try:
+        import bench
+
+        yield bench
+    finally:
+        if had is None:
+            os.environ.pop("DF3D_TPU_DISABLE_X64", None)
+        else:
+            os.environ["DF3D_TPU_DISABLE_X64"] = had
+
+
+class TestProbeFamily:
+    def test_at_least_four_transforms_covering_brittle_axes(self, bench_mod):
+        probes = bench_mod.load_probe_frames()
+        assert len(probes) >= 4
+        assert {"reencode", "jpeg_q90"} <= set(probes)
+        assert any(n.startswith("shift") for n in probes)
+        assert any(n.startswith("gain") for n in probes)
+
+    def test_probe_frames_shapes_and_tolerances(self, bench_mod):
+        probes = bench_mod.load_probe_frames()
+        for name, (frames, pts_tol, conf_tol) in probes.items():
+            assert frames.shape == (15, 7, 480, 960, 3), name
+            assert frames.dtype == np.uint8, name
+            # points tolerance anchored at the reference's 0.02; shift
+            # probes get the shift-adjusted bound (true column motion)
+            assert 0.02 <= pts_tol <= 0.02 + 8 / 960, name
+            if name.startswith("shift"):
+                dx = abs(int(name[5:-2]))
+                assert pts_tol == pytest.approx(0.02 + dx / 960)
+            # confidence is gated only where a reference contract exists
+            # (the re-encode path, at the documented 3x band)
+            if conf_tol is not None:
+                assert name == "reencode"
+
+    def test_shift_probe_is_a_true_roll(self, bench_mod):
+        probes = bench_mod.load_probe_frames()
+        clean, _ = bench_mod.load_golden_frames()
+        shifted = probes["shift+2px"][0]
+        np.testing.assert_array_equal(shifted, np.roll(clean, 2, axis=3))
+
+
+class TestCalibrationHoldout:
+    def test_calibration_refuses_probe_quality(self):
+        sys.path.insert(0, os.path.join(REPO, "scripts"))
+        try:
+            import calibrate_score_head as csh
+        finally:
+            sys.path.pop(0)
+        with pytest.raises(SystemExit):
+            csh.validate_augment_qualities([85, 90])
+        csh.validate_augment_qualities([85, 75])  # the supported menu
