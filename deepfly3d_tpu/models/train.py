@@ -152,6 +152,12 @@ class TrainConfig:
     freeze_bn: bool = False    # train against inference-time BN statistics
     mse_weight: float = 1.0    # heatmap-shape loss; lower it in the final
                                # conf fine-tune (shape fights exact peaks)
+    shift_aug: int = 0         # max random horizontal shift in HEATMAP
+                               # cells per step (input rolls 4x that).
+                               # Forces translation equivariance the fixed
+                               # augmentation pools cannot: a finite pool
+                               # can be memorized variant-by-variant, a
+                               # fresh shift every step cannot.
 
 
 def make_train_epoch(
@@ -163,6 +169,7 @@ def make_train_epoch(
     noise_scale: float = 0.0,
     freeze_bn: bool = False,
     mse_weight: float = 1.0,
+    shift_aug: int = 0,
 ):
     """Build a jitted multi-step trainer: ``lax.scan`` over `steps_per_call`
     optimizer steps with on-device batch sampling.
@@ -228,7 +235,7 @@ def make_train_epoch(
 
     def one_step(carry, rng):
         params, batch_stats, opt_state, images, targets, cells, peaks = carry
-        rng_idx, rng_noise = jax.random.split(rng)
+        rng_idx, rng_noise, rng_shift = jax.random.split(rng, 3)
         if batch_size >= images.shape[0]:
             # full-batch: deterministic gradient on the true objective —
             # the worst-offender max terms see EVERY observation each step
@@ -240,6 +247,23 @@ def make_train_epoch(
                 rng_idx, (batch_size,), 0, images.shape[0]
             )
         batch_images = images[idx]
+        batch_targets = targets[idx]
+        batch_cells = cells[idx]
+        if shift_aug > 0:
+            # one fresh horizontal shift per step, input and supervision
+            # rolled together: the input moves 4*k pixels (network frame),
+            # the heatmap target and its peak cell move k cells.  Because
+            # the shift is resampled every step, the only solution that
+            # fits all steps is a translation-equivariant one — the
+            # mechanism behind the ±px-shift robustness probes
+            # (bench.load_probe_frames) that a fixed pool cannot force.
+            k = jax.random.randint(rng_shift, (), -shift_aug, shift_aug + 1)
+            batch_images = jnp.roll(batch_images, 4 * k, axis=2)
+            batch_targets = jnp.roll(batch_targets, k, axis=2)
+            W_hm = batch_targets.shape[2]
+            batch_cells = batch_cells.at[..., 1].set(
+                (batch_cells[..., 1] + k) % W_hm
+            )
         if noise_scale > 0:
             # pixel jitter for robustness to JPEG re-encoding (the CLI's
             # video-expansion path re-compresses frames)
@@ -249,7 +273,7 @@ def make_train_epoch(
             )
         (loss, (new_stats, mse, peak_err)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(params, batch_stats, batch_images, targets[idx], cells[idx], peaks[idx])
+        )(params, batch_stats, batch_images, batch_targets, batch_cells, peaks[idx])
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (
@@ -303,7 +327,7 @@ def train_overfit(
     steps_per_call = min(eval_every, cfg.steps)
     train_epoch = make_train_epoch(
         spec, tx, cfg.peak_loss_weight, steps_per_call, cfg.batch_size,
-        cfg.noise_scale, cfg.freeze_bn, cfg.mse_weight,
+        cfg.noise_scale, cfg.freeze_bn, cfg.mse_weight, cfg.shift_aug,
     )
 
     images_d = jnp.asarray(images_f32)

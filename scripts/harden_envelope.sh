@@ -21,8 +21,9 @@ OUT=weights/hourglass_fly_hardened.npz
 cp -n weights/hourglass_fly.npz "$OUT" || true
 
 python scripts/train_fly_weights.py --resume --freeze-bn --augment-envelope \
-    --lr 1e-4 --mse-weight 0.1 --steps 12000 --out "$OUT"
+    --shift-aug 2 --lr 1e-4 --mse-weight 0.1 --steps 12000 --out "$OUT"
 echo "=== PHASE H1 DONE ==="
 python scripts/train_fly_weights.py --resume --freeze-bn --augment-envelope \
-    --lr 3e-5 --mse-weight 0.05 --peak-weight 200 --steps 8000 --out "$OUT"
+    --shift-aug 2 --lr 3e-5 --mse-weight 0.05 --peak-weight 200 --steps 8000 \
+    --out "$OUT"
 echo "=== PHASE H2 DONE ==="

@@ -77,6 +77,17 @@ def main():
     ap.add_argument("--noise", type=float, default=0.008)
     ap.add_argument("--mse-weight", type=float, default=1.0)
     ap.add_argument("--out", default=OUT)
+    ap.add_argument("--shift-aug", type=int, default=0, metavar="K",
+                    help="random horizontal shift augmentation: every "
+                         "train step rolls the batch by a fresh 4*k "
+                         "pixels (k in [-K, K], network frame) with the "
+                         "supervision rolled along.  Unlike the fixed "
+                         "--augment-envelope pools (memorizable variant "
+                         "by variant), a per-step random shift can only "
+                         "be fit by genuine translation equivariance — "
+                         "the property the bench's held-out ±2 px probes "
+                         "measure, and one a conv score head preserves "
+                         "through calibration")
     ap.add_argument("--freeze-bn", action="store_true",
                     help="train against inference-time BN statistics")
     ap.add_argument("--resume", action="store_true",
@@ -355,25 +366,33 @@ def main():
                 env_conf = max(
                     env_conf, float(np.abs(conf - golden_conf).max())
                 )
-            # Clean gate is NO-REGRESSION-VS-SEED, not the absolute
-            # contract: this eval config (f32 default TPU matmul
-            # precision) measures even the untouched parity teacher at
-            # conf ~0.0025 (precision ladder, ARCHITECTURE round 3), so
-            # an absolute conf<=0.002 gate is unachievable here and
-            # keep-best would degenerate (measured: phase H1 no-op'd).
-            # The deployable contract is restored afterwards by TPU
-            # score-head calibration, which needs only exact clean
-            # argmaxes + seed-level conf to work from.
+            # Clean gate is the CALIBRATOR'S REPAIR REGION, not the
+            # absolute contract.  The deployable checkpoint is always
+            # produced by TPU score-head calibration afterwards
+            # (scripts/calibrate_score_head.py), which (a) refits every
+            # peak VALUE to the golden confidence outright — trunk conf
+            # drift up to ~0.05 is absorbed wholesale — and (b) repairs
+            # wrong argmax cells within ~4 heatmap cells of golden
+            # (0.03 normalized).  Demanding exact clean parity DURING
+            # hardening was measured fatal twice: an absolute conf gate
+            # no-op'd phase H1 (round 3), and the exact-points gate made
+            # every eval of the r5 H1 run fail (clean pts 0.07-0.5 while
+            # envelope slowly improved) so keep-best could never latch an
+            # envelope win.  Gate on repairable-clean instead, and let
+            # the score prefer lower clean error among equal envelopes.
             if "conf_ref" not in gate:      # first eval = resumed seed
-                gate["conf_ref"] = max(0.002, rec["conf_maxerr"] + 1e-4)
-            clean_exact = (
-                rec["pts_maxerr"] == 0.0
+                gate["conf_ref"] = max(0.05, rec["conf_maxerr"] + 1e-4)
+                gate["pts_ref"] = max(0.03, rec["pts_maxerr"])
+            clean_repairable = (
+                rec["pts_maxerr"] <= gate["pts_ref"]
                 and rec["conf_maxerr"] <= gate["conf_ref"]
             )
             rec["env_pts_ratio"] = round(env_pts, 4)
             rec["env_conf"] = round(env_conf, 4)
-            rec["hardened_score"] = env_pts + (
-                0.0 if clean_exact else 1000.0 + rec["parity_ratio"]
+            rec["hardened_score"] = (
+                env_pts
+                + 0.1 * (rec["pts_maxerr"] / 0.02)
+                + (0.0 if clean_repairable else 1000.0 + rec["parity_ratio"])
             )
             return rec
 
@@ -462,6 +481,7 @@ def main():
         noise_scale=args.noise,
         freeze_bn=args.freeze_bn,
         mse_weight=args.mse_weight,
+        shift_aug=args.shift_aug,
     )
     t0 = time.time()
     variables, history = train_mod.train_overfit(
