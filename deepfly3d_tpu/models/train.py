@@ -158,6 +158,14 @@ class TrainConfig:
                                # augmentation pools cannot: a finite pool
                                # can be memorized variant-by-variant, a
                                # fresh shift every step cannot.
+    gain_aug: float = 0.0      # random brightness gain per step: inputs
+                               # scale by 1 + U(-g, g).  Points-robustness
+                               # under ±5% gain is a held-out bench probe;
+                               # value (conf) invariance under gain is NOT
+                               # demanded by any contract, but from-scratch
+                               # training absorbs the mild value pressure
+                               # fine (the measured conf-collapse was a
+                               # fine-tune-on-a-memorized-seed phenomenon)
 
 
 def make_train_epoch(
@@ -170,6 +178,7 @@ def make_train_epoch(
     freeze_bn: bool = False,
     mse_weight: float = 1.0,
     shift_aug: int = 0,
+    gain_aug: float = 0.0,
 ):
     """Build a jitted multi-step trainer: ``lax.scan`` over `steps_per_call`
     optimizer steps with on-device batch sampling.
@@ -235,7 +244,7 @@ def make_train_epoch(
 
     def one_step(carry, rng):
         params, batch_stats, opt_state, images, targets, cells, peaks = carry
-        rng_idx, rng_noise, rng_shift = jax.random.split(rng, 3)
+        rng_idx, rng_noise, rng_shift, rng_gain = jax.random.split(rng, 4)
         if batch_size >= images.shape[0]:
             # full-batch: deterministic gradient on the true objective —
             # the worst-offender max terms see EVERY observation each step
@@ -264,6 +273,14 @@ def make_train_epoch(
             batch_cells = batch_cells.at[..., 1].set(
                 (batch_cells[..., 1] + k) % W_hm
             )
+        if gain_aug > 0:
+            # brightness-gain jitter (one gain per step): the bench's
+            # ±5% gain probes are points-gated; training under a fresh
+            # gain each step makes argmax positions gain-stable
+            gain = 1.0 + jax.random.uniform(
+                rng_gain, (), minval=-gain_aug, maxval=gain_aug
+            )
+            batch_images = batch_images * gain
         if noise_scale > 0:
             # pixel jitter for robustness to JPEG re-encoding (the CLI's
             # video-expansion path re-compresses frames)
@@ -328,6 +345,7 @@ def train_overfit(
     train_epoch = make_train_epoch(
         spec, tx, cfg.peak_loss_weight, steps_per_call, cfg.batch_size,
         cfg.noise_scale, cfg.freeze_bn, cfg.mse_weight, cfg.shift_aug,
+        cfg.gain_aug,
     )
 
     images_d = jnp.asarray(images_f32)

@@ -88,6 +88,11 @@ def main():
                          "the property the bench's held-out ±2 px probes "
                          "measure, and one a conv score head preserves "
                          "through calibration")
+    ap.add_argument("--gain-aug", type=float, default=0.0, metavar="G",
+                    help="random brightness-gain augmentation: every train "
+                         "step scales the batch by 1+U(-G, G); the bench's "
+                         "±5%% gain probes are points-gated, and a fresh "
+                         "gain per step makes argmax positions gain-stable")
     ap.add_argument("--freeze-bn", action="store_true",
                     help="train against inference-time BN statistics")
     ap.add_argument("--resume", action="store_true",
@@ -482,6 +487,7 @@ def main():
         freeze_bn=args.freeze_bn,
         mse_weight=args.mse_weight,
         shift_aug=args.shift_aug,
+        gain_aug=args.gain_aug,
     )
     t0 = time.time()
     variables, history = train_mod.train_overfit(
