@@ -58,16 +58,40 @@ GOLDEN_2D = os.path.join(
 GOLDEN_T = 15
 
 
+RIG_TEMPLATE = os.path.join(ROOT, "weights", "rig_template_fly.npz")
+
+
+def _load_rig():
+    """Device-ready rig template (ops/canonicalize.py), or None."""
+    from deepfly3d_tpu.ops import canonicalize
+
+    if not os.path.exists(RIG_TEMPLATE):
+        return None
+    return canonicalize.prepare(canonicalize.load_template(RIG_TEMPLATE))
+
+
 def build_pipeline(spec, variables, calib, camera_ordering, input_shape,
-                   precision=None):
+                   precision=None, rig="auto"):
     """One jitted program: (T, C, H, W, 3) uint8 ->
     (points3d (T, 38, 3), points2d38 (C, T, 38, 2), conf (C, T, 19, 1)).
 
     ``precision`` optionally pins the matmul precision for the network
     forward (e.g. "tensorfloat32" / "float32") — TPU f32 matmuls default to
     reduced precision, which costs ~+0.0003 confidence drift vs golden.
+
+    ``rig`` — rig registration (ops/canonicalize.py): frames are
+    registered against the calibration-session template before inference
+    (per-camera integer-shift + exposure-gain canonicalization; identity
+    on un-drifted input), 2D points are emitted in provided-frame
+    coordinates, and triangulation consumes the canonical points (the
+    calib-prior extrinsics are only valid in the calibration-time pixel
+    frame).  "auto" loads weights/rig_template_fly.npz; None disables.
     """
+    from deepfly3d_tpu.ops import canonicalize
     from deepfly3d_tpu.ops import image as image_ops
+
+    if rig == "auto":
+        rig = _load_rig()
 
     if (os.environ.get("DF3D_BENCH_FUSED") and spec.stem == "conv"
             and spec.score_ksize == 1):
@@ -115,11 +139,22 @@ def build_pipeline(spec, variables, calib, camera_ordering, input_shape,
     @jax.jit
     def pipeline(vars_, frames_u8):
         T = frames_u8.shape[0]
+        if rig is not None:
+            # rig registration: per-camera batch-level drift estimate +
+            # canonicalizing roll (identity on un-drifted input — the
+            # estimates are exact zeros there, ops/canonicalize.py)
+            dy, dx, gain = canonicalize.estimate_tc(frames_u8, rig)
+            frames_u8 = canonicalize.apply_shift_tc(frames_u8, dy, dx)
         x = frames_u8.reshape(T * NUM_CAMERAS, IMAGE_H, IMAGE_W, 3)
         flip = jnp.tile(flip_d, T)
         # cast/normalize/resize as two MXU matmuls + low-res flip
         # (ops/image.py); dtype is the checkpoint's deployment policy
         x = image_ops.preprocess_frames(x, flip, input_shape, pp_dtype)
+        if rig is not None:
+            # exposure correction on the small tensor (scalar per camera;
+            # exactly 1.0 inside the dead zone -> bit-exact passthrough)
+            corr = jnp.tile(canonicalize.gain_correction(gain, x.dtype), T)
+            x = x * corr[:, None, None, None]
         with prec_ctx():
             heatmaps = net(vars_, x)
         # decode + 19->38 assembly: the SAME functions the cascade
@@ -132,13 +167,18 @@ def build_pipeline(spec, variables, calib, camera_ordering, input_shape,
         conf = conf.reshape(T, NUM_CAMERAS, K, 1).transpose(1, 0, 2, 3)
         p38 = cascade_ops._assemble38(pts19, order, left_cams, right_cams, K)
 
-        # masked DLT triangulation
+        # masked DLT triangulation of the CANONICAL points (the calib
+        # prior's extrinsics live in the calibration-time pixel frame)
         pts3d = geometry.triangulate(
             p38, jnp.asarray(R, jnp.float32), jnp.asarray(tvec, jnp.float32),
             jnp.asarray(intr, jnp.float32), (IMAGE_W, IMAGE_H),
             # closed-form inverse-power DLT: 3.8ms vs eigh 16ms at T=128
             method="normal",
         )
+        if rig is not None:
+            # 2D points go out in provided-frame coordinates
+            p38 = canonicalize.adjust_points38(
+                p38, dy, dx, (IMAGE_H, IMAGE_W))
         return pts3d, p38, conf
 
     wrapped = lambda frames_u8: pipeline(net_vars, frames_u8)
@@ -496,6 +536,7 @@ def main():
                     vars_s, spec_s, parity_vars, teacher_bf16,
                     calib_, order_,
                     cascade_mod.CascadeConfig(repair_frac=repair_frac),
+                    rig=_load_rig(),
                 )
             return build
 

@@ -127,13 +127,19 @@ def build_cascade_pipeline(
     calib,
     camera_ordering,
     cfg: CascadeConfig = CascadeConfig(),
+    rig=None,
 ):
     """-> jitted fn: (T, C, H, W, 3) uint8 ->
     (points3d (T, 38, 3), points2d38 (C, T, 38, 2), conf (C, T, 19, 1)).
 
     Matches bench.build_pipeline's output contract so bench.py can verify
     and time it interchangeably with the single-net configurations.
+
+    ``rig``: prepared rig template (ops/canonicalize.prepare) — frames
+    are registered to the calibration session before both the student
+    and teacher passes, exactly as in bench.build_pipeline.
     """
+    from deepfly3d_tpu.ops import canonicalize
     from deepfly3d_tpu.ops import image as image_ops
 
     student = HourglassNet(student_spec)
@@ -156,6 +162,11 @@ def build_cascade_pipeline(
         T = frames_u8.shape[0]
         N = T * C
         n_repair = max(int(np.ceil(cfg.repair_frac * N)), 1)
+        if rig is not None:
+            dy, dx, gain = canonicalize.estimate_tc(frames_u8, rig)
+            frames_u8 = canonicalize.apply_shift_tc(frames_u8, dy, dx)
+            gain_corr = jnp.tile(
+                canonicalize.gain_correction(gain, jnp.float32), T)
         x_u8 = frames_u8.reshape(N, H_img, W_img, 3)
         flip = jnp.tile(flip_d, T)
 
@@ -165,6 +176,8 @@ def build_cascade_pipeline(
             x_u8, flip, s_input,
             jnp.dtype(student_spec.preprocess_dtype).type,
         )
+        if rig is not None:
+            xs = xs * gain_corr[:, None, None, None].astype(xs.dtype)
         hm_s = student.apply(student_vars, xs, train=False)[-1]
         pts_s, conf_s = _decode(hm_s)                    # (N, 19, 2/1)
         K = pts_s.shape[1]
@@ -189,6 +202,10 @@ def build_cascade_pipeline(
             xr_u8, flip[repair_idx], t_input,
             jnp.dtype(teacher_spec.preprocess_dtype).type,
         )
+        if rig is not None:
+            xr = xr * (
+                gain_corr[repair_idx][:, None, None, None].astype(xr.dtype)
+            )
         hm_t = teacher.apply(teacher_vars, xr, train=False)[-1]
         pts_t, _ = _decode(hm_t)                        # (R, 19, 2)
         # splice teacher POINTS into the per-image student points
@@ -201,6 +218,8 @@ def build_cascade_pipeline(
             jnp.asarray(tvec, jnp.float32), jnp.asarray(intr, jnp.float32),
             (W_img, H_img), method="normal",
         )
+        if rig is not None:
+            p38 = canonicalize.adjust_points38(p38, dy, dx, (H_img, W_img))
         return pts3d, p38, conf
 
     return pipeline

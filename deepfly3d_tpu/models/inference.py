@@ -43,6 +43,8 @@ def infer_batch(
     soft_argmax: bool = False,
     fused: bool = False,
     return_heatmaps: bool = False,
+    gain: Optional[jnp.ndarray] = None,   # (N,) exposure correction (rig
+                                          # registration, ops/canonicalize)
 ):
     """uint8 images -> (points2d (N,19,2) normalized (row,col), conf (N,19,1)).
 
@@ -63,6 +65,11 @@ def infer_batch(
         images_u8, flip, tuple(input_shape),
         jnp.dtype(spec.preprocess_dtype).type,
     )
+    if gain is not None:
+        # rig-registration exposure correction on the small tensor; the
+        # caller passes exact 1.0 where the dead zone disabled correction
+        # (multiplying by one is exact — bit-parity on clean input)
+        x = x * gain[:, None, None, None].astype(x.dtype)
     if fused:
         from deepfly3d_tpu.models import fused_inference
 
@@ -120,8 +127,23 @@ class PoseEstimator:
         input_shape: Optional[Tuple[int, int]] = None,
         soft_argmax: bool = False,
         fused: bool = False,
+        rig_template: Optional[str] = "auto",
     ):
+        from deepfly3d_tpu.ops import canonicalize
+
         self.variables, self.spec = load_weights(checkpoint)
+        # rig registration (ops/canonicalize.py): frames are registered
+        # against the calibration-session template before inference.
+        # "auto" discovers the template shipped next to the checkpoint;
+        # identity on un-drifted recordings (the estimates are exact
+        # zeros there), so golden parity is unaffected.
+        if rig_template == "auto":
+            rig_template = canonicalize.find_template(checkpoint)
+        elif rig_template in (None, "", "off"):
+            rig_template = None
+        self.rig = (
+            canonicalize.load_template(rig_template) if rig_template else None
+        )
         # the checkpoint's training resolution is the source of truth
         # (golden parity only holds there); the argument covers legacy
         # checkpoints that don't declare one.
@@ -137,7 +159,8 @@ class PoseEstimator:
             )
 
     def infer_images(self, images_u8: np.ndarray, flip: np.ndarray,
-                     batch_size: int = 8, return_heatmaps: bool = False):
+                     batch_size: int = 8, return_heatmaps: bool = False,
+                     gain: Optional[np.ndarray] = None):
         """(N,H,W,3) uint8 + (N,) flip flags -> (pts (N,19,2), conf (N,19,1)).
 
         With ``return_heatmaps`` a third array (N, h, w, 19) of last-stack
@@ -154,17 +177,24 @@ class PoseEstimator:
         if pad:
             images_u8 = np.concatenate([images_u8, images_u8[:pad]], axis=0)
             flip = np.concatenate([flip, flip[:pad]], axis=0)
+            if gain is not None:
+                gain = np.concatenate([gain, gain[:pad]], axis=0)
+        if gain is not None and np.all(gain == 1.0):
+            gain = None        # keep the gain-free program (identity anyway)
+        gain = None if gain is None else np.asarray(gain, np.float32)
 
         def put(i):
             return (
                 jax.device_put(images_u8[i : i + batch_size]),
                 jax.device_put(flip[i : i + batch_size]),
+                None if gain is None
+                else jax.device_put(gain[i : i + batch_size]),
             )
 
         starts = list(range(0, images_u8.shape[0], batch_size))
         staged = put(starts[0])
         for n, i in enumerate(starts):
-            imgs_d, flip_d = staged
+            imgs_d, flip_d, gain_d = staged
             if n + 1 < len(starts):
                 staged = put(starts[n + 1])   # prefetch next H2D in flight
             out = infer_batch(
@@ -176,6 +206,7 @@ class PoseEstimator:
                 self.soft_argmax,
                 self.fused,
                 return_heatmaps,
+                gain_d,
             )
             pts_all.append(np.asarray(out[0]))
             conf_all.append(np.asarray(out[1]))
@@ -186,6 +217,46 @@ class PoseEstimator:
         if return_heatmaps:
             return pts, conf, np.concatenate(hm_all)[:N]
         return pts, conf
+
+    def _register_chunk(self, images: np.ndarray, cams: np.ndarray,
+                        reg: dict):
+        """Rig registration (ops/canonicalize.py) for one ingest chunk.
+
+        Per-camera (dy, dx, gain) is estimated ONCE per recording — from
+        the first chunk in which the camera appears (drift is a property
+        of the session, not the frame; batch-level estimation needs
+        several frames, MIN_EST_FRAMES) — then applied to every chunk:
+        frames are rolled back to the calibration-time pixel frame on
+        the host (exact integer roll) and the exposure correction is
+        returned for the device pipeline (infer_batch ``gain``).
+
+        Returns (images, gain (N,) or None, dy (N,), dx (N,)).
+        """
+        from deepfly3d_tpu.ops import canonicalize
+
+        zeros = np.zeros(len(cams), np.int64)
+        if self.rig is None or images.shape[1:3] != self.rig.image_hw:
+            return images, None, zeros, zeros
+        cams = np.asarray(cams)
+        for cam in np.unique(cams):
+            if int(cam) not in reg:
+                cam_frames = images[cams == cam]
+                if len(cam_frames) < canonicalize.MIN_EST_FRAMES:
+                    reg[int(cam)] = (0, 0, 1.0)
+                else:
+                    reg[int(cam)] = canonicalize.estimate_camera_np(
+                        cam_frames, self.rig, int(cam))
+        dy = np.array([reg[int(c)][0] for c in cams])
+        dx = np.array([reg[int(c)][1] for c in cams])
+        gain = np.array([reg[int(c)][2] for c in cams], np.float32)
+        if np.any(dy) or np.any(dx):
+            images = images.copy()
+            for cam in np.unique(cams):
+                d_y, d_x, _ = reg[int(cam)]
+                if d_y or d_x:
+                    m = cams == cam
+                    images[m] = canonicalize.apply_np(images[m], d_y, d_x)
+        return images, (None if np.all(gain == 1.0) else gain), dy, dx
 
     def infer_videos(
         self,
@@ -209,19 +280,29 @@ class PoseEstimator:
 
         flip_set = set(camera_ids_to_flip)
         per_cam_pts, per_cam_conf = [], []
+        reg: dict = {}
         for cam in range(num_cameras):
             path = os.path.join(folder, f"camera_{cam}.mp4")
             flip_cam = cam in flip_set
             cam_pts, cam_conf = [], []
             frames: list = []
 
-            def flush():
+            def flush(cam=cam, flip_cam=flip_cam, cam_pts=cam_pts,
+                      cam_conf=cam_conf, frames=frames):
                 if not frames:
                     return
                 images = np.stack(frames)
                 frames.clear()
+                images, gain, dy_c, dx_c = self._register_chunk(
+                    images, np.full(len(images), cam), reg)
                 flip = np.full(images.shape[0], flip_cam)
-                p, c = self.infer_images(images, flip, batch_size=batch_size)
+                p, c = self.infer_images(images, flip,
+                                         batch_size=batch_size, gain=gain)
+                if np.any(dy_c) or np.any(dx_c):
+                    from deepfly3d_tpu.ops import canonicalize
+
+                    p = canonicalize.adjust_points_raw(
+                        p, dy_c, dx_c, flip, self.rig.image_hw)
                 cam_pts.append(p)
                 cam_conf.append(c)
 
@@ -301,11 +382,17 @@ class PoseEstimator:
         # cannot change batch contents vs the unchunked computation
         chunk = max(chunk_images - chunk_images % batch_size, batch_size)
         pts_parts, conf_parts, hm_parts = [], [], []
+        reg: dict = {}
+        dy_parts, dx_parts = [], []
         for lo in range(0, len(paths), chunk):
             images = _read_images_threaded(paths[lo:lo + chunk])
+            images, gain, dy_c, dx_c = self._register_chunk(
+                images, np.asarray(cams[lo:lo + chunk]), reg)
+            dy_parts.append(dy_c)
+            dx_parts.append(dx_c)
             out = self.infer_images(
                 images, flips[lo:lo + chunk], batch_size=batch_size,
-                return_heatmaps=return_heatmap,
+                return_heatmaps=return_heatmap, gain=gain,
             )
             pts_parts.append(out[0])
             conf_parts.append(out[1])
@@ -313,6 +400,15 @@ class PoseEstimator:
                 hm_parts.append(out[2])
         pts = np.concatenate(pts_parts, axis=0)
         conf = np.concatenate(conf_parts, axis=0)
+        dy_all = np.concatenate(dy_parts)
+        dx_all = np.concatenate(dx_parts)
+        if np.any(dy_all) or np.any(dx_all):
+            # registered recordings: points go out in provided-frame
+            # coordinates (ops/canonicalize.adjust_points_raw)
+            from deepfly3d_tpu.ops import canonicalize
+
+            pts = canonicalize.adjust_points_raw(
+                pts, dy_all, dx_all, flips, self.rig.image_hw)
         if return_heatmap:
             out = (pts, conf, np.concatenate(hm_parts, axis=0))
         else:
