@@ -254,18 +254,20 @@ def load_probe_frames():
     * ``gain±5%`` — uint8 brightness scaling by 0.95/1.05, gated on
       POINTS at 0.02; the other measured brittleness axis.
 
-    Calibrated checkpoints may train on q85/q75 recompression
-    (calibrate_score_head --augment-recompress — the measured fix after
+    Calibrated checkpoints may train on q85/q75 recompression and a
+    gain-1.04 registration roundtrip (calibrate_score_head
+    --augment-recompress / --augment-gain — the measured fixes after
     the round-4 run demoted every clean-only-calibrated config on these
     probes), and hardened trunks train on ±4 px / ±5% gain / q80
     variants (train_fly_weights --augment-envelope), but the probe
     transforms themselves — the video re-encode pipeline, quality 90,
-    ±2 px shift — are NEVER in any fit or fine-tune menu.  The gain
-    probe values 0.95/1.05 do appear in the hardening pool (the
-    VERDICT bar names those exact magnitudes for both the probe and the
-    hardening target); position supervision there uses coordinate-true
-    targets, so passing it is the trained-for behavior, not leakage of
-    a held-out answer key.  A fly-geometry synthetic recording rendered
+    ±2 px shift, gain 0.95/1.05 — are NEVER in the calibration menu
+    (validate_augment_qualities / validate_augment_gains refuse them).
+    The gain probe values 0.95/1.05 do appear in the trunk-hardening
+    pool (the VERDICT bar names those exact magnitudes for both the
+    probe and the hardening target); position supervision there uses
+    coordinate-true targets, so passing it is the trained-for behavior,
+    not leakage of a held-out answer key.  A fly-geometry synthetic recording rendered
     via the h36m-style generator was considered as a further probe and
     rejected: every shipped checkpoint is a sample-recording-fit
     detector by design (README "Weights provenance"), so a

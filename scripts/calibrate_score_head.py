@@ -86,14 +86,27 @@ RIDGE = 1e-6           # relative ridge -> near-exact interpolation
 def validate_augment_qualities(aug_q):
     """The held-out probe transforms (bench.load_probe_frames) must never
     enter the calibration fit.  JPEG q90 is a probe transform; the other
-    probes (video re-encode, ±2 px shift, ±5% gain) are not expressible
-    in this JPEG-quality-only augmentation menu at all, which is itself
-    part of the holdout design.  tests/test_bench_probes.py pins this."""
+    probes (video re-encode, ±2 px shift) are not expressible in the
+    augmentation menu at all, which is itself part of the holdout design.
+    tests/test_bench_probes.py pins this."""
     if any(q == 90 for q in aug_q):
         raise SystemExit(
             "--augment-recompress 90 is forbidden: jpeg q90 is a held-out "
             "probe transform (bench.load_probe_frames); fitting on it "
             "would make the probe gate circular"
+        )
+
+
+def validate_augment_gains(aug_g):
+    """Same holdout rule for the gain-roundtrip menu: the probe gains
+    0.95/1.05 (bench.load_probe_frames) are forbidden — fit on nearby
+    magnitudes (e.g. 1.04) so the probe measures generalization of the
+    clip/quantization-residual robustness, not a memorized transform."""
+    if any(abs(g - 0.95) < 1e-9 or abs(g - 1.05) < 1e-9 for g in aug_g):
+        raise SystemExit(
+            "--augment-gain 0.95/1.05 is forbidden: these are held-out "
+            "probe transforms (bench.load_probe_frames); fit on nearby "
+            "magnitudes (e.g. 0.96, 1.04) instead"
         )
 
 
@@ -131,23 +144,38 @@ def recompress_images(images_u8, quality):
     return out
 
 
-def extract_features(variables, spec, input_shape, augment_qualities=()):
+def extract_features(variables, spec, input_shape, augment_qualities=(),
+                     augment_gains=()):
     """Deployed-forward features entering the LAST score conv, plus the
     current heatmaps, for the 105 golden images (cam-major order).
 
     ``augment_qualities``: extra JPEG-recompression qualities; each adds a
     full 105-image copy (same golden cells/targets) so the downstream fit
     must hold its peaks and argmax repairs ACROSS input perturbation —
-    the anti-overfit measure behind bench.py's held-out probe gate.  The
-    probe transforms themselves (video re-encode via expand_videos and
-    jpeg q90) are deliberately NOT in the augmentation menu: they stay
-    held out.
+    the anti-overfit measure behind bench.py's held-out probe gate.
+
+    ``augment_gains``: extra brightness-roundtrip copies replicating the
+    deployed rig-registration path (ops/canonicalize.py) end to end:
+    uint8 gain -> per-camera gain estimate vs the rig template -> 1/gain
+    correction on the preprocessed tensor, exactly as
+    bench.build_pipeline applies it.  What survives the roundtrip is the
+    uint8 quantization + highlight-clipping residual the correction
+    cannot undo (for g>1 saturated pixels come back at 255/g, an error
+    of up to (1-1/g) over bright regions) — the axis on which the
+    round-4 clean-fit calibrations failed the gain probes even with
+    registration active (/tmp/r5/verify_bench_probe.log: parity-calib
+    gain1.05 pts 0.27).
+
+    The probe transforms themselves (video re-encode via expand_videos,
+    jpeg q90, gain 0.95/1.05) are deliberately NOT in the augmentation
+    menu: they stay held out (validate_augment_*).
 
     Returns (feat_dev (S*105,h,w,F), heat (S*105,H,W,K) f64, golden,
     image_sets: list of S uint8 (105,480,960,3) arrays cam-major,
     clean first).
     """
     from deepfly3d_tpu.models.inference import _read_images_threaded
+    from deepfly3d_tpu.ops import canonicalize
     from deepfly3d_tpu.ops import image as image_ops
 
     with open(GOLD, "rb") as f:
@@ -164,16 +192,45 @@ def extract_features(variables, spec, input_shape, augment_qualities=()):
     image_sets = [clean] + [
         recompress_images(clean, q) for q in augment_qualities
     ]
+    # per-image multiplicative correction after preprocess, one vector per
+    # set: exactly 1.0 for the clean/recompressed sets (recompression moves
+    # the batch mean ≤0.5%, inside the dead zone — deployment applies no
+    # correction there either), the deployment-estimated 1/gain for the
+    # gain-roundtrip sets
+    corr_sets = [np.ones(len(clean), np.float32)] * len(image_sets)
+    if augment_gains:
+        tpl_path = canonicalize.find_template(
+            os.path.join(ROOT, "weights", "hourglass_fly.npz"))
+        if tpl_path is None:
+            raise SystemExit(
+                "--augment-gain needs weights/rig_template_fly.npz (the "
+                "deployed gain correction is defined against it)")
+        tpl = canonicalize.load_template(tpl_path)
+        for g in augment_gains:
+            gained = np.clip(
+                clean.astype(np.float32) * g, 0, 255).astype(np.uint8)
+            corr = np.ones(len(clean), np.float32)
+            for cam in range(NUM_CAMERAS):
+                sl = slice(cam * T_GOLD, (cam + 1) * T_GOLD)
+                _, _, gain_est = canonicalize.estimate_camera_np(
+                    gained[sl], tpl, cam)
+                corr[sl] = 1.0 if gain_est == 1.0 else 1.0 / gain_est
+            image_sets.append(gained)
+            corr_sets.append(corr)
     flips_d = jnp.asarray(np.asarray(flips))
 
     model = HourglassNet(spec)
     last_bn = f"feat_bn{spec.num_stacks - 1}"
 
     @jax.jit
-    def fn(imgs, flp):
+    def fn(imgs, flp, corr):
         x = image_ops.preprocess_frames(
             imgs, flp, input_shape, jnp.dtype(spec.preprocess_dtype).type
         )
+        # rig-registration exposure correction, as deployed (identity for
+        # the non-gain sets: multiplying by 1.0 is exact in every float
+        # format, ops/canonicalize.gain_correction)
+        x = x * corr[:, None, None, None].astype(x.dtype)
         out, state = model.apply(
             variables, x, train=False,
             capture_intermediates=lambda m, _: m.name == last_bn,
@@ -184,8 +241,9 @@ def extract_features(variables, spec, input_shape, augment_qualities=()):
         return feat, out[-1].astype(jnp.float32)
 
     feats, heats = [], []
-    for imgs in image_sets:
-        f_d, h_d = jax.block_until_ready(fn(jnp.asarray(imgs), flips_d))
+    for imgs, corr in zip(image_sets, corr_sets):
+        f_d, h_d = jax.block_until_ready(
+            fn(jnp.asarray(imgs), flips_d, jnp.asarray(corr)))
         feats.append(f_d)
         heats.append(np.asarray(h_d, np.float64))
     feat = jnp.concatenate(feats, 0) if len(feats) > 1 else feats[0]
@@ -534,6 +592,14 @@ def main():
                          "measured fix for bench.py's held-out probe "
                          "gate (the probe transforms themselves — video "
                          "re-encode, jpeg q90 — are never fit on)")
+    ap.add_argument("--augment-gain", default="",
+                    help="comma-separated brightness gains (e.g. '1.04'); "
+                         "each adds a gain->estimate->1/gain roundtrip "
+                         "copy of the golden images replicating the "
+                         "deployed rig-registration path, so the fit "
+                         "holds across the clip/quantization residual "
+                         "the correction cannot undo (the probe gains "
+                         "0.95/1.05 themselves are forbidden: held out)")
     ap.add_argument("--targets-cache", default="",
                     help="npz path persisting the outer loop's shifted "
                          "conf targets; a restarted run resumes from it "
@@ -542,6 +608,8 @@ def main():
     args = ap.parse_args()
     aug_q = [int(q) for q in args.augment_recompress.split(",") if q]
     validate_augment_qualities(aug_q)
+    aug_g = [float(g) for g in args.augment_gain.split(",") if g]
+    validate_augment_gains(aug_g)
 
     variables, spec0 = load_weights(args.ckpt_in)
     dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -556,7 +624,8 @@ def main():
     S = spec.num_stacks
 
     feat_dev, heat, golden, image_sets = extract_features(
-        variables, spec, input_shape, augment_qualities=aug_q)
+        variables, spec, input_shape, augment_qualities=aug_q,
+        augment_gains=aug_g)
     n_sets = len(image_sets)
     # f32 is the features' native precision (the forward computes them in
     # f32); f64 here only doubled host RAM, which matters at n_sets x 105
@@ -606,7 +675,7 @@ def main():
     # gates keep-best: a config that holds golden-clean but loses a probe
     # is exactly the overfit this augmentation exists to prevent.
     probes_dev = None
-    if aug_q:
+    if aug_q or aug_g:
         try:
             probes_dev = {
                 name: (jax.device_put(frames), pt, ct)
@@ -632,7 +701,7 @@ def main():
     # specific to that config's deploy-vs-cache delta (ADVICE r4)
     cache_fp = repr((os.path.abspath(args.ckpt_in), args.dtype,
                      args.hp_scope, args.preprocess_dtype, sorted(aug_q),
-                     args.alpha, args.damping))
+                     sorted(aug_g), args.alpha, args.damping))
     if tcache and os.path.exists(tcache):
         cached_npz = np.load(tcache)
         cached = cached_npz["fit_targets"]

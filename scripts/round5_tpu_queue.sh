@@ -10,11 +10,13 @@
 #     input.  Trunk hardening was tried first and REFUTED: from-scratch
 #     robust training (/tmp/r5/03_robust_scratch.log) converged to
 #     pts_maxerr 0.40 — it never re-enters the 0.02 golden contract.
-#   * reencode / jpeg-q90 probes — handled by probe-robust score-head
-#     calibration (calibrate_score_head --augment-recompress 85 75):
-#     the r4 clean-only calibrations fail exactly these (parity misses
-#     the reencode conf band by 2.7%; p16 blows out on points 5x,
-#     docs/BENCH_SESSION_r04a.json).
+#   * reencode / jpeg-q90 / residual-gain probes — handled by
+#     probe-robust score-head calibration (--augment-recompress 85,75
+#     --augment-gain 1.04): the r4 clean-only calibrations fail exactly
+#     these (parity misses the reencode conf band by 2.7% and gain1.05
+#     points by 13x — highlight clipping survives the 1/gain correction;
+#     p16 blows out on points 5x, docs/BENCH_SESSION_r04a.json +
+#     /tmp/r5/verify_bench_probe.log).
 #
 # STRICTLY serial: one TPU process at a time (a second axon client
 # blocks silently), and the host has ONE CPU core — CPU-heavy work
@@ -61,13 +63,13 @@ step() {  # step <num> <name> <timeout_s> <cmd...>
     return 0
 }
 
-step 1 calibrate_p16     7200 python scripts/calibrate_score_head.py \
+step 1 calibrate_p16    10800 python scripts/calibrate_score_head.py \
     weights/hourglass_fly_p16.npz weights/hourglass_fly_p16_tpu.npz \
-    --dtype bfloat16 --augment-recompress 85,75 \
+    --dtype bfloat16 --augment-recompress 85,75 --augment-gain 1.04 \
     --targets-cache "$LOGDIR/tcache_p16.npz"
-step 2 calibrate_parity  7200 python scripts/calibrate_score_head.py \
+step 2 calibrate_parity 10800 python scripts/calibrate_score_head.py \
     weights/hourglass_fly.npz weights/hourglass_fly_tpu.npz \
-    --dtype bfloat16 --augment-recompress 85,75 \
+    --dtype bfloat16 --augment-recompress 85,75 --augment-gain 1.04 \
     --targets-cache "$LOGDIR/tcache_parity.npz"
 step 3 envelopes         5400 bash -c '
     for w in weights/hourglass_fly.npz weights/hourglass_fly_tpu.npz \

@@ -79,3 +79,15 @@ class TestCalibrationHoldout:
         with pytest.raises(SystemExit):
             csh.validate_augment_qualities([85, 90])
         csh.validate_augment_qualities([85, 75])  # the supported menu
+
+    def test_calibration_refuses_probe_gains(self):
+        sys.path.insert(0, os.path.join(REPO, "scripts"))
+        try:
+            import calibrate_score_head as csh
+        finally:
+            sys.path.pop(0)
+        with pytest.raises(SystemExit):
+            csh.validate_augment_gains([1.05])
+        with pytest.raises(SystemExit):
+            csh.validate_augment_gains([0.95, 1.04])
+        csh.validate_augment_gains([0.96, 1.04])  # the supported menu
