@@ -514,6 +514,24 @@ def main():
              tuple(p16_spec.input_shape or (256, 512)), None),
             128,
         ))
+    p16_fastpre = os.path.join(
+        ROOT, "weights", "hourglass_fly_p16fast_tpu.npz")
+    if os.path.exists(p16_fastpre):
+        # same p16 student calibrated under a FULLY bf16 deployment
+        # policy (--preprocess-dtype bfloat16 --hp-scope none): the
+        # two-matmul frame resize is ~57% of pipeline FLOPs at p16 speed
+        # when f32, so this is the main remaining ceiling lever; the
+        # checkpoint's __spec__ carries the policy the fit absorbed.
+        pf_vars, pf_spec = load_weights(p16_fastpre)
+        pf_spec = HourglassSpec(
+            **{**pf_spec.__dict__, "compute_dtype": jnp.bfloat16}
+        )
+        candidates.append((
+            "p16 student full-bf16 (score-head calibrated, bf16 preprocess)",
+            (pf_spec, pf_vars,
+             tuple(pf_spec.input_shape or (256, 512)), None),
+            256,
+        ))
     fast_path = os.environ.get("DF3D_BENCH_STUDENT", FAST64)
     if os.path.exists(fast_path) and not os.environ.get(
         "DF3D_BENCH_SKIP_FAST"
